@@ -1,0 +1,88 @@
+"""spark-submit entry point — the rebuild of `swarm ingest`
+(/root/reference/pkg/controller/cmd/ingest.go:16-94).
+
+    spark-submit --py-files swarm_spark.zip swarm_spark/job.py \
+        --input /path/to/transcripts(.parquet|icepack table dir) \
+        --warehouse /path/to/warehouse --batch-id batch-001
+
+On a cluster, ship the package with tools/build_pyfiles.py's zip. The
+job is exactly-once per --batch-id (manifest gate): re-submitting a
+completed batch is a no-op, mirroring the Firestore completed-state
+skip (pkg/controller/server/server.go:126-144).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+if __package__ in (None, ""):  # direct script / spark-submit invocation
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="swarm-spark-ingest", description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="transcripts parquet path, or events parquet dir via --derive")
+    ap.add_argument("--warehouse", required=True, help="icepack warehouse root")
+    ap.add_argument("--batch-id", required=True, help="exactly-once batch key")
+    ap.add_argument("--derive-from-events", action="store_true",
+                    help="treat --input as an sf dir holding events.parquet")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--on-unmatched", default="skip", choices=["skip", "error", "keep"])
+    ap.add_argument("--assume-ordered", action="store_true",
+                    help="skip the turn-ordering window (input guarantees order)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="plan + explain only; write nothing (≙ swarm --dry-run)")
+    args = ap.parse_args(argv)
+
+    from swarm_spark.datagen import transcripts_from_events
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+    from swarm_spark.session import get_spark
+
+    spark = get_spark("swarm_spark_ingest", cpus=args.cpus)
+    if args.derive_from_events:
+        transcripts = transcripts_from_events(spark, args.input)
+    else:
+        transcripts = spark.read.parquet(args.input)
+
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=args.warehouse,
+        tool_dim=default_tool_dim(spark),
+        on_unmatched=args.on_unmatched,
+        assume_ordered=args.assume_ordered,
+    )
+    pipe = IngestPipeline(spark, cfg)
+
+    if args.dry_run:
+        routed = pipe.routed(transcripts, ingest_id="dry-run")
+        routed.explain("formatted")
+        print(json.dumps({"dry_run": True, "sinks": sorted({r.sink_table for r in cfg.schema_rules})}))
+        return 0
+
+    res = pipe.run(transcripts, batch_id=args.batch_id)
+    print(json.dumps({
+        "batch_id": res.batch_id,
+        "request_id": res.request_id,
+        "skipped": res.skipped,
+        "input_rows": res.input_rows,
+        "routed_rows": res.routed_rows,
+        "per_sink_rows": res.per_sink_rows,
+        "snapshot_ids": res.snapshot_ids,
+        "elapsed_sec": round(res.elapsed_sec, 3),
+        "turns_per_sec": round(res.turns_per_sec, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,255 @@
+"""The end-to-end ingest DAG: parse → enrich → route → aggregate.
+
+Re-expresses swarm's UseCase.Load (/root/reference/pkg/usecase/load.go:59-136)
+as ONE declarative Spark plan over the transcripts table plus a short
+driver-side fan-out loop for the per-sink writes:
+
+    transcripts ──(window: stable turn order)──(regexp extract: JVM)──
+      ──(event rules → schema_name explode)──(⋈ broadcast schema_rules)──
+      ──(⋈ broadcast tool_dim)──(envelope: id/ts/ingest_id)── routed
+    routed ──persist──┬── per-sink filter → icepack append   (×N sinks)
+                      ├── groupBy(sink, role, tool, hour).count → agg table
+                      └── audit LoadLog row
+
+Scale notes (10^12 turns):
+  * The parse/route/enrich segment is shuffle-free: narrow column
+    expressions + broadcast joins only. The ONLY wide dependencies are
+    the optional turn-ordering window (partitioned by conv_id — bounded
+    per-conversation, never by global skew) and the aggregate shuffle
+    (low-cardinality keys, map-side partial agg + AQE).
+  * `assume_ordered=True` removes the window entirely when the source
+    guarantees unique turn_idx per conv (Iceberg sort order at write).
+  * Per-sink writes reuse ONE persisted routed DF — the shuffle/parse
+    work is paid once regardless of sink count, mirroring swarm's
+    single parse + per-dest worker pool (load.go:96-121) without
+    re-reading the source.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.extract import extract_columns
+from .functions.normalize import content_hash_id
+from .manifest import STATE_COMPLETED, STATE_FAILED, ManifestStore
+from .rules import EventRule, SchemaRule, route
+from .tablestore import IcepackCatalog
+
+PAYLOAD_FIELDS = [
+    "conv_id", "turn_idx", "role", "text", "tool",
+    "called_tool", "call_args", "error_code", "actor",
+    "tool_family", "is_privileged",
+]
+
+
+@dataclass
+class PipelineConfig:
+    event_rules: list[EventRule]
+    schema_rules: list[SchemaRule]
+    warehouse: str
+    tool_dim: DataFrame | None = None
+    on_unmatched: str = "skip"       # record-level default (load.go:216-219)
+    assume_ordered: bool = False     # skip the ordering window at scale
+    sink_concurrency: int = 8        # ≙ ingestTableConcurrency (usecase.go:37)
+    audit_table: str = "_audit"
+    agg_table: str = "_agg_hourly"
+    manifest_dir: str = field(default="")
+
+    def __post_init__(self):
+        names = {r.schema_name for r in self.schema_rules}
+        for er in self.event_rules:
+            if er.schema_name not in names:
+                raise ValueError(
+                    f"event rule {er.rule_id} targets unknown schema "
+                    f"{er.schema_name!r} (Source.Validate, policy.go:32-52)"
+                )
+        if not self.manifest_dir:
+            self.manifest_dir = f"{self.warehouse}/_manifest"
+
+
+@dataclass
+class LoadResult:
+    batch_id: str
+    request_id: str
+    skipped: bool
+    per_sink_rows: dict
+    snapshot_ids: dict
+    input_rows: int = 0
+    routed_rows: int = 0
+    elapsed_sec: float = 0.0
+
+    @property
+    def turns_per_sec(self) -> float:
+        return self.input_rows / self.elapsed_sec if self.elapsed_sec else 0.0
+
+
+class IngestPipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.config = config
+        self.catalog = IcepackCatalog(config.warehouse)
+        self.manifest = ManifestStore(config.manifest_dir)
+
+    # ------------------------------------------------------------------
+    # plan builders (pure transformations — composable, testable)
+    # ------------------------------------------------------------------
+    def parsed(self, transcripts: DataFrame) -> DataFrame:
+        """Stable turn ordering + vectorized field extraction.
+
+        turn_seq is the per-conversation dense position (window over
+        conv_id ORDER BY turn_idx — the north_star ordering contract);
+        prev_role gives per-turn context for routing rules.
+        """
+        df = transcripts
+        if not self.config.assume_ordered:
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            df = df.withColumn("turn_seq", F.row_number().over(w) - 1)
+            df = df.withColumn("prev_role", F.lag("role").over(w))
+        else:
+            df = df.withColumn("turn_seq", F.col("turn_idx"))
+            df = df.withColumn("prev_role", F.lit(None).cast("string"))
+        return df.select("*", *extract_columns("text"))
+
+    def enriched(self, parsed: DataFrame) -> DataFrame:
+        """Broadcast lookup enrichment (tool metadata)."""
+        if self.config.tool_dim is None:
+            return parsed.withColumn("tool_family", F.lit(None).cast("string")) \
+                         .withColumn("is_privileged", F.lit(None).cast("boolean"))
+        dim = self.config.tool_dim.select(
+            F.col("tool").alias("_dim_tool"), "tool_family", "is_privileged"
+        )
+        joined = parsed.join(
+            F.broadcast(dim),
+            F.coalesce(parsed["called_tool"], parsed["tool"]) == dim["_dim_tool"],
+            "left",
+        )
+        return joined.drop("_dim_tool")
+
+    def routed(self, transcripts: DataFrame, ingest_id: str | None = None) -> DataFrame:
+        """Full routing plan: returns one row per (turn, matched schema)
+        with envelope columns (id, ingest_id, timestamp, ingested_at)
+        and sink metadata — the DataFrame analogue of LogRecordSet
+        (/root/reference/pkg/domain/model/bigquery.go:122-128)."""
+        cfg = self.config
+        ingest_id = ingest_id or uuid.uuid4().hex
+        df = self.enriched(self.parsed(transcripts))
+        df = route(df, cfg.event_rules, on_unmatched=cfg.on_unmatched)
+
+        # broadcast hash join against the schema_rules dimension
+        from .rules import rules_to_df
+
+        dim = rules_to_df(self.spark, cfg.schema_rules)
+        df = df.join(F.broadcast(dim), "schema_name", "inner")
+
+        payload = F.struct(*[F.col(c) for c in PAYLOAD_FIELDS if c in df.columns])
+        # id: per-rule id_field, else content hash (types.go:27-34)
+        id_col = content_hash_id(payload)
+        for r in cfg.schema_rules:
+            if r.id_field:
+                id_col = F.when(
+                    F.col("schema_name") == r.schema_name,
+                    F.col(r.id_field).cast("string"),
+                ).otherwise(id_col)
+        return (
+            df.withColumn("id", id_col)
+            .withColumn("ingest_id", F.lit(ingest_id))
+            .withColumn("timestamp", F.col("ts"))
+            .withColumn("ingested_at", F.current_timestamp())
+        )
+
+    def aggregate(self, routed: DataFrame) -> DataFrame:
+        """Windowed counts per (sink, role, tool, hour) —
+        BASELINE.json north_star A4. Map-side partial agg + AQE keep
+        this shuffle trivial even under conv_id skew because the
+        grouping keys are low-cardinality."""
+        return (
+            routed.groupBy(
+                F.col("sink_table").alias("sink"),
+                "role",
+                F.coalesce("called_tool", "tool").alias("tool"),
+                F.date_trunc("hour", "timestamp").alias("hour"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    # ------------------------------------------------------------------
+    # execution (actions; exactly-once gated)
+    # ------------------------------------------------------------------
+    def run(self, transcripts: DataFrame, batch_id: str,
+            request_id: str | None = None) -> LoadResult:
+        cfg = self.config
+        request_id = request_id or uuid.uuid4().hex
+        state, acquired = self.manifest.get_or_create(batch_id, request_id)
+        if not acquired:
+            return LoadResult(batch_id, request_id, True, {}, state.snapshot_ids or {})
+
+        t0 = time.time()
+        started_at = F.current_timestamp()
+        try:
+            routed = self.routed(transcripts, ingest_id=request_id)
+            routed = routed.persist()
+
+            sinks = sorted({r.sink_table for r in cfg.schema_rules})
+            rule_by_sink = {r.sink_table: r for r in cfg.schema_rules}
+            per_sink_rows: dict[str, int] = {}
+            snapshot_ids: dict[str, int] = {}
+
+            def write_sink(sink: str):
+                r = rule_by_sink[sink]
+                keep = [c for c in PAYLOAD_FIELDS
+                        if c in routed.columns and c not in set(r.drop_fields)]
+                out = routed.filter(F.col("sink_table") == sink).select(
+                    "id", "ingest_id", "timestamp", "ingested_at", *keep
+                )
+                snap = self.catalog.table(sink).append(
+                    out, partition_unit=r.partition_unit, ts_col="timestamp"
+                )
+                return sink, snap
+
+            # per-dest worker pool ≙ load.go:96-121; each write re-reads
+            # the PERSISTED routed DF, not the source.
+            with ThreadPoolExecutor(max_workers=cfg.sink_concurrency) as pool:
+                for sink, snap in pool.map(write_sink, sinks):
+                    per_sink_rows[sink] = snap["added_rows"]
+                    snapshot_ids[sink] = snap["snapshot_id"]
+
+            agg = self.aggregate(routed).withColumn("batch_id", F.lit(batch_id))
+            agg_snap = self.catalog.table(cfg.agg_table).append(
+                agg.withColumn("timestamp", F.col("hour")), ts_col="timestamp"
+            )
+            snapshot_ids[cfg.agg_table] = agg_snap["snapshot_id"]
+
+            input_rows = transcripts.count()
+            routed_rows = sum(per_sink_rows.values())
+            elapsed = time.time() - t0
+
+            audit = self.spark.createDataFrame(
+                [(
+                    request_id, batch_id, True, None,
+                    input_rows, routed_rows, float(elapsed),
+                    [(s, per_sink_rows[s], int(snapshot_ids[s]), True) for s in sinks],
+                )],
+                "request_id string, batch_id string, success boolean, error string, "
+                "input_rows bigint, routed_rows bigint, elapsed_sec double, "
+                "ingests array<struct<sink:string,log_count:bigint,snapshot_id:bigint,success:boolean>>",
+            ).withColumn("started_at", started_at)
+            # audit table month-partitioned on started_at (bigquery.go:77-83)
+            self.catalog.table(cfg.audit_table).append(
+                audit, partition_unit="month", ts_col="started_at"
+            )
+
+            routed.unpersist()
+            self.manifest.update(batch_id, STATE_COMPLETED, snapshot_ids)
+            return LoadResult(
+                batch_id, request_id, False, per_sink_rows, snapshot_ids,
+                input_rows=input_rows, routed_rows=routed_rows, elapsed_sec=elapsed,
+            )
+        except Exception:
+            self.manifest.update(batch_id, STATE_FAILED)
+            raise

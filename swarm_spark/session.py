@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the swarm_spark pipeline.
+
+Local-mode knobs mirror the parallelism defaults of the reference
+(read concurrency 32: /root/reference/pkg/usecase/usecase.go:34) but are
+expressed as Spark confs so the same code scales to a multi-executor
+cluster: AQE re-plans shuffles at runtime (incl. skew-join splitting),
+shuffle partitions default to the core count locally and should be set
+to ~2-3x total cores on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "swarm_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the pipeline's tuning.
+
+    All settings are cluster-safe: on a real cluster, drop the
+    ``master`` override via ``SPARK_GRAFT_MASTER`` or spark-submit.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime shuffle coalescing + skew-join splitting — the
+        # scale path for hot conv_id keys (SURVEY.md §7 "What's hard").
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        # Arrow for every pandas UDF / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic oracle comparison: UTC everywhere.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: rules/dimension tables are tiny; keep the
+        # default 10MB but make it explicit — the routing join must
+        # NEVER shuffle the fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Target ~128MB input splits at scale.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

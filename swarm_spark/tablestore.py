@@ -1,0 +1,278 @@
+"""icepack — snapshot-committed parquet tables (the Iceberg stand-in).
+
+This container ships no Iceberg/Delta jars, so the pipeline's table
+semantics are provided by a minimal, self-contained table format that
+mirrors the Iceberg behaviors the north_rule depends on:
+
+* ATOMIC COMMIT: data files are written to a fresh snapshot directory
+  first; the snapshot becomes visible only when the CURRENT pointer is
+  atomically replaced (os.replace). Readers never observe partial
+  writes — the analogue of swarm's pending-stream → finalize →
+  BatchCommitWriteStreams flow (/root/reference/pkg/infra/bq/client.go:240-263)
+  and of an Iceberg snapshot commit.
+* MONOTONIC SCHEMA EVOLUTION: appends union-merge the incoming schema
+  with the table schema by name — existing field order preserved, new
+  fields appended, same-name-different-type → hard error — the exact
+  contract of swarm's bqs.Merge/createOrUpdateTable
+  (pkg/usecase/bigquery.go:15-62; pinned by pkg/usecase/migrate_test.go:77-132).
+* OPTIMISTIC CONCURRENCY: commit re-reads CURRENT and retries the merge
+  if another writer advanced it — the ETag-guarded update
+  (pkg/infra/bq/client.go:282-288).
+* TIME PARTITION TRANSFORMS: hour/day/month/year on a timestamp column
+  (pkg/usecase/utils.go:170-194, types/types.go:51-57) materialize as a
+  hidden `_p` hive-partition column, giving real partition pruning on
+  read via `read(..., ts_between=...)`.
+* TIME TRAVEL / LINEAGE: every snapshot records parent id, row count,
+  and operation — the audit/resume substrate (north_rule "resumable
+  from Iceberg snapshot/checkpoint state").
+
+When real Iceberg jars are on the classpath, `IcebergCatalog` (same
+interface, `spark.table`/`writeTo`) can replace this; the pipeline
+depends only on the small Catalog/Table protocol below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PART_FMT = {
+    "hour": "yyyy-MM-dd-HH",
+    "day": "yyyy-MM-dd",
+    "month": "yyyy-MM",
+    "year": "yyyy",
+}
+
+
+class SchemaConflictError(ValueError):
+    """Same-name different-type — the hard-error contract of
+    bqs schema merge (migrate_test.go:115-132)."""
+
+
+def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Union-by-name: old field order preserved, new fields appended,
+    nested structs merged recursively, type conflict → error."""
+    by_name = {f.name: f for f in new.fields}
+    out = []
+    for f_old in old.fields:
+        f_new = by_name.pop(f_old.name, None)
+        if f_new is None:
+            out.append(f_old)
+            continue
+        if isinstance(f_old.dataType, T.StructType) and isinstance(f_new.dataType, T.StructType):
+            merged = merge_schemas(f_old.dataType, f_new.dataType)
+            out.append(T.StructField(f_old.name, merged, True))
+        elif f_old.dataType == f_new.dataType:
+            out.append(T.StructField(f_old.name, f_old.dataType, True))
+        else:
+            raise SchemaConflictError(
+                f"field {f_old.name!r}: {f_old.dataType.simpleString()} "
+                f"vs {f_new.dataType.simpleString()}"
+            )
+    out.extend(by_name[f.name] for f in new.fields if f.name in by_name)
+    return T.StructType(out)
+
+
+class IcepackTable:
+    def __init__(self, root: str, name: str):
+        self.name = name
+        self.path = os.path.join(root, name)
+        self.meta = os.path.join(self.path, "_meta")
+        self.data = os.path.join(self.path, "data")
+        os.makedirs(self.meta, exist_ok=True)
+        os.makedirs(self.data, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------
+    def _current_id(self) -> int | None:
+        try:
+            with open(os.path.join(self.meta, "CURRENT")) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.meta, f"snap-{sid:012d}.json")
+
+    def current_snapshot(self) -> dict | None:
+        sid = self._current_id()
+        if sid is None:
+            return None
+        with open(self._snap_path(sid)) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.meta)):
+            if fn.startswith("snap-"):
+                with open(os.path.join(self.meta, fn)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def exists(self) -> bool:
+        return self._current_id() is not None
+
+    def schema(self) -> T.StructType | None:
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        return T.StructType.fromJson(json.loads(snap["schema"]))
+
+    # -- write -------------------------------------------------------
+    def _commit(self, snap: dict) -> int:
+        """Atomic pointer swap with optimistic retry (ETag analogue)."""
+        for _ in range(50):
+            cur = self._current_id()
+            expected = snap["parent"]
+            if cur != expected:
+                # another writer advanced the table; rebase lineage
+                snap["parent"] = cur
+                parent_snap = self.current_snapshot()
+                if parent_snap is not None and snap["op"] == "append":
+                    prev_dirs = parent_snap["data_dirs"]
+                    new_only = [d for d in snap["data_dirs"] if d not in snap.get("_base_dirs", [])]
+                    snap["data_dirs"] = prev_dirs + new_only
+                    old = T.StructType.fromJson(json.loads(parent_snap["schema"]))
+                    new = T.StructType.fromJson(json.loads(snap["schema"]))
+                    snap["schema"] = json.dumps(merge_schemas(old, new).jsonValue())
+                continue
+            sid = (cur or 0) + 1
+            snap["snapshot_id"] = sid
+            snap.pop("_base_dirs", None)
+            tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(snap, fh)
+            os.replace(tmp, self._snap_path(sid))
+            tmp2 = os.path.join(self.meta, f"CURRENT.tmp-{uuid.uuid4().hex}")
+            with open(tmp2, "w") as fh:
+                fh.write(str(sid))
+            os.replace(tmp2, os.path.join(self.meta, "CURRENT"))
+            return sid
+        raise RuntimeError(f"commit contention on table {self.name}")
+
+    def _write_data(self, df: DataFrame, partition_unit: str, ts_col: str) -> tuple[str, int]:
+        ddir = os.path.join(self.data, f"s-{uuid.uuid4().hex}")
+        if partition_unit:
+            df = df.withColumn("_p", F.date_format(F.col(ts_col), _PART_FMT[partition_unit]))
+        # row count rides the write action itself — one pass, no extra
+        # scan (≙ swarm's append-count verify, pkg/infra/bq/client.go:240-248)
+        obs = Observation(f"rows-{uuid.uuid4().hex[:8]}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        writer = df.write.mode("overwrite")
+        if partition_unit:
+            writer = writer.partitionBy("_p")
+        writer.parquet(ddir)
+        return ddir, int(obs.get["n"])
+
+    def append(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp") -> dict:
+        """Append with schema evolution; returns the committed snapshot."""
+        prev = self.current_snapshot()
+        if prev is not None:
+            old_schema = T.StructType.fromJson(json.loads(prev["schema"]))
+            schema = merge_schemas(old_schema, df.schema)
+            partition_unit = prev.get("partition_unit") or partition_unit
+        else:
+            schema = df.schema
+        ddir, n = self._write_data(df, partition_unit, ts_col)
+        snap = {
+            "parent": prev["snapshot_id"] if prev else None,
+            "op": "append",
+            "data_dirs": (prev["data_dirs"] if prev else []) + [ddir],
+            "_base_dirs": prev["data_dirs"] if prev else [],
+            "schema": json.dumps(schema.jsonValue()),
+            "partition_unit": partition_unit,
+            "ts_col": ts_col,
+            "row_count": (prev.get("row_count", 0) if prev else 0) + n,
+            "added_rows": n,
+            "committed_at": time.time(),
+        }
+        snap["snapshot_id"] = None
+        self._commit(snap)
+        return snap
+
+    def overwrite(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp") -> dict:
+        prev = self.current_snapshot()
+        ddir, n = self._write_data(df, partition_unit, ts_col)
+        snap = {
+            "parent": prev["snapshot_id"] if prev else None,
+            "op": "overwrite",
+            "data_dirs": [ddir],
+            "schema": json.dumps(df.schema.jsonValue()),
+            "partition_unit": partition_unit,
+            "ts_col": ts_col,
+            "row_count": n,
+            "added_rows": n,
+            "committed_at": time.time(),
+            "snapshot_id": None,
+        }
+        self._commit(snap)
+        return snap
+
+    # -- read ----------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        ts_between: tuple[str, str] | None = None,
+    ) -> DataFrame:
+        """Read the table at CURRENT (or time-travel to snapshot_id).
+        ts_between=(lo_iso, hi_iso) prunes hive partitions before the
+        scan when the table has a time partition transform."""
+        if snapshot_id is not None:
+            with open(self._snap_path(snapshot_id)) as fh:
+                snap = json.load(fh)
+        else:
+            snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        # Each snapshot's data dir is its own (possibly hive-partitioned)
+        # parquet root; union them by name so schema evolution across
+        # snapshots resolves (missing columns → null).
+        parts = [
+            spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
+            for d in snap["data_dirs"]
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        unit = snap.get("partition_unit")
+        if unit and ts_between:
+            fmt_py = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d",
+                      "month": "%Y-%m", "year": "%Y"}[unit]
+            import datetime as _dt
+
+            lo = _dt.datetime.fromisoformat(ts_between[0]).strftime(fmt_py)
+            hi = _dt.datetime.fromisoformat(ts_between[1]).strftime(fmt_py)
+            df = df.filter((F.col("_p") >= lo) & (F.col("_p") <= hi))
+        if "_p" in df.columns:
+            df = df.drop("_p")
+        # project to the evolved table schema (missing columns → null)
+        cols = [
+            F.col(f.name).cast(f.dataType) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
+
+class IcepackCatalog:
+    """Directory-of-tables catalog ≙ a BigQuery dataset / Iceberg namespace."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> IcepackTable:
+        return IcepackTable(self.root, name)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "_meta"))
+        )
