@@ -1,0 +1,112 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+  * ingest_e2e   — full parse→enrich→route→aggregate→sink-commit run
+                   over transcripts derived from events (exactly-once
+                   machinery included; the north_rule metric's numerator
+                   is this stage's turns/sec)
+  * route_agg    — routed+aggregate plan only (no sink writes)
+  * gen_route_1m — 1M-row generated skewed transcripts through route+agg
+                   (exercises the Zipf hot-key path at larger-than-sf
+                   row counts)
+  * tpch_q1, broadcast_join — generic scan/agg/join reference points
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/scaling_bench.py which shells out to this file at two
+parallelism levels; see BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+GEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_GEN_ROWS", "1000000"))
+
+
+def main() -> None:
+    from swarm_spark.datagen import generate_transcripts, transcripts_from_events
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+    from swarm_spark.session import get_spark
+
+    spark = get_spark("swarm_spark_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    def mkpipe(warehouse: str) -> IngestPipeline:
+        cfg = PipelineConfig(
+            event_rules=default_event_rules(),
+            schema_rules=default_schema_rules(),
+            warehouse=warehouse,
+            tool_dim=default_tool_dim(spark),
+        )
+        return IngestPipeline(spark, cfg)
+
+    # warm the JVM/readers once so timings measure the queries
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    # -- ingest_e2e -------------------------------------------------
+    wh = tempfile.mkdtemp(prefix="swarm_bench_wh_")
+    try:
+        pipe = mkpipe(wh)
+        t = transcripts_from_events(spark, SF_DIR)
+        res = timed("ingest_e2e", lambda: pipe.run(t, batch_id="bench"))
+        extras["ingest_turns_per_sec"] = round(res.input_rows / timings["ingest_e2e"], 1)
+        extras["ingest_input_rows"] = res.input_rows
+        extras["ingest_routed_rows"] = res.routed_rows
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    # -- route_agg (plan only, count action) ------------------------
+    pipe2 = mkpipe(tempfile.mkdtemp(prefix="swarm_bench_wh2_"))
+    t2 = transcripts_from_events(spark, SF_DIR)
+    timed("route_agg", lambda: pipe2.aggregate(pipe2.routed(t2)).count())
+
+    # -- generated skewed transcripts at 1M rows --------------------
+    gen = generate_transcripts(spark, GEN_ROWS, seed=42)
+    timed("gen_route_1m", lambda: pipe2.aggregate(pipe2.routed(gen)).count())
+    extras["gen_rows"] = GEN_ROWS
+    extras["gen_turns_per_sec"] = round(GEN_ROWS / timings["gen_route_1m"], 1)
+
+    # -- generic reference queries ----------------------------------
+    import __spark_entry__ as e
+
+    timed("tpch_q1", lambda: e.q_tpch_q1(spark, SF_DIR).collect())
+    timed("broadcast_join", lambda: e.q_broadcast_join(spark, SF_DIR).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

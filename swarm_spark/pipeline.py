@@ -192,8 +192,22 @@ class IngestPipeline:
         t0 = time.time()
         started_at = F.current_timestamp()
         try:
+            # Input row count rides the plan as an Observation — it is
+            # collected during cache materialization, never via a
+            # second scan of the source (≙ SourceLog.RowCount,
+            # load.go:208, without swarm's per-record counter).
+            from pyspark.sql import Observation
+
+            obs_in = Observation(f"in-{request_id[:8]}")
+            transcripts = transcripts.observe(obs_in, F.count(F.lit(1)).alias("n"))
+
             routed = self.routed(transcripts, ingest_id=request_id)
             routed = routed.persist()
+            # Materialize the cache ONCE before the per-sink fan-out;
+            # otherwise N writer threads race to compute the same plan
+            # N times before the cache is populated.
+            routed_rows_total = routed.count()
+            input_rows = int(obs_in.get["n"])
 
             sinks = sorted({r.sink_table for r in cfg.schema_rules})
             rule_by_sink = {r.sink_table: r for r in cfg.schema_rules}
@@ -225,8 +239,11 @@ class IngestPipeline:
             )
             snapshot_ids[cfg.agg_table] = agg_snap["snapshot_id"]
 
-            input_rows = transcripts.count()
             routed_rows = sum(per_sink_rows.values())
+            assert routed_rows == routed_rows_total, (
+                f"append-count mismatch: {routed_rows} written vs "
+                f"{routed_rows_total} routed"  # X6, bq/client.go:240-248
+            )
             elapsed = time.time() - t0
 
             audit = self.spark.createDataFrame(
