@@ -1,0 +1,109 @@
+"""icepack tablestore: atomic commits, schema evolution, partition
+transforms, time travel (SURVEY.md §2.7-2.8 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from swarm_spark.tablestore import IcepackCatalog, SchemaConflictError, merge_schemas
+
+
+class TestMergeSchemas:
+    def s(self, ddl):
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(ddl)
+
+    def test_union_order_preserved_new_appended(self):
+        # migrate_test.go:77-113: {name,address} + {name,age} → [name,address,age]
+        old = self.s("name string, address string")
+        new = self.s("name string, age bigint")
+        merged = merge_schemas(old, new)
+        assert [f.name for f in merged.fields] == ["name", "address", "age"]
+
+    def test_type_conflict_errors(self):
+        # migrate_test.go:115-132: age:int vs age:string → error
+        old = self.s("age bigint")
+        new = self.s("age string")
+        with pytest.raises(SchemaConflictError):
+            merge_schemas(old, new)
+
+    def test_nested_struct_merge(self):
+        old = self.s("d struct<a:string>")
+        new = self.s("d struct<b:bigint>")
+        merged = merge_schemas(old, new)
+        inner = merged.fields[0].dataType
+        assert [f.name for f in inner.fields] == ["a", "b"]
+
+    def test_identical_noop(self):
+        old = self.s("a string, b bigint")
+        assert merge_schemas(old, old) == T.StructType(
+            [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
+        )
+
+
+class TestIcepackTable:
+    def test_append_evolve_read(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t1")
+        t.append(spark.createDataFrame([(1, "x")], "a bigint, b string"))
+        t.append(spark.createDataFrame([(2, "y", 9.5)], "a bigint, b string, c double"))
+        df = t.read(spark).orderBy("a").toPandas()
+        assert list(df.columns) == ["a", "b", "c"]
+        assert df.c.isna().tolist() == [True, False]  # evolved col null-backfilled
+        assert t.current_snapshot()["row_count"] == 2
+
+    def test_type_conflict_rejected(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t2")
+        t.append(spark.createDataFrame([(1,)], "a bigint"))
+        with pytest.raises(SchemaConflictError):
+            t.append(spark.createDataFrame([("s",)], "a string"))
+        # failed append must not corrupt the table
+        assert t.read(spark).count() == 1
+
+    def test_time_travel(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t3")
+        s1 = t.append(spark.createDataFrame([(1,)], "a bigint"))
+        t.append(spark.createDataFrame([(2,)], "a bigint"))
+        assert t.read(spark).count() == 2
+        assert t.read(spark, snapshot_id=s1["snapshot_id"]).count() == 1
+        lineage = [s["parent"] for s in t.snapshots()]
+        assert lineage == [None, 1]
+
+    def test_overwrite(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t4")
+        t.append(spark.createDataFrame([(1,)], "a bigint"))
+        t.overwrite(spark.createDataFrame([(7,), (8,)], "a bigint"))
+        assert sorted(r.a for r in t.read(spark).collect()) == [7, 8]
+
+    def test_partition_pruning(self, spark, tmp_path):
+        import datetime as dt
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t5")
+        rows = [(i, dt.datetime(2026, 1, 1 + i)) for i in range(5)]
+        t.append(
+            spark.createDataFrame(rows, "a bigint, timestamp timestamp"),
+            partition_unit="day",
+        )
+        pruned = t.read(spark, ts_between=("2026-01-02", "2026-01-03"))
+        assert pruned.count() == 2
+        # pruning happens at the file listing level: partition filter
+        # appears as a partition predicate, not a post-scan filter
+        assert t.read(spark).count() == 5
+
+    def test_atomicity_visible_only_after_commit(self, spark, tmp_path):
+        import os
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t6")
+        t.append(spark.createDataFrame([(1,)], "a bigint"))
+        # simulate a torn write: data dir exists but no snapshot points at it
+        orphan = os.path.join(t.data, "s-orphan")
+        os.makedirs(orphan)
+        spark.createDataFrame([(99,)], "a bigint").write.parquet(orphan, mode="overwrite")
+        assert t.read(spark).count() == 1  # orphan invisible
