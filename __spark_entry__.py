@@ -145,7 +145,119 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving row per normalized-content hash."""
+    from swarm_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(docs).select("doc_id", "lang", "source")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    from swarm_spark.operators.dedup import jaccard_pairs_inverted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs_inverted(docs, k=3, threshold=0.2)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, quality score, language id, fingerprint per doc."""
+    from swarm_spark.operators.textstats import with_textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_textstats(docs).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "alpha_ratio",
+        "punct_ratio", "quality", "lang_pred", "fingerprint",
+    )
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 neighbors of vec 0 by integer-quantized dot product
+    (quantization makes the score integer-exact in both engines)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = embs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    quant = lambda c: F.transform(c, lambda x: F.round(x.cast("double") * 1024).cast("long"))  # noqa: E731
+    dq = F.aggregate(
+        F.zip_with(quant(F.col("embedding")), quant(F.col("qv")), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        embs.crossJoin(F.broadcast(qv))
+        .select("vec_id", dq.alias("dq"))
+        .orderBy(F.desc("dq"), "vec_id")
+        .limit(20)
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only check: xxhash64 has no
+    DuckDB twin)."""
+    from swarm_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-band near-dup pairs (rows-only check)."""
+    from swarm_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force float cosine top-10 (rows-only: float tie-order)."""
+    from swarm_spark.operators.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [r[0] for r in
+         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .filter(F.col("vec_id") == 0)
+         .select(F.explode("embedding")).collect()]
+    return cosine_topk(embs, q, k=10)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids, probe 4 lists (rows-only)."""
+    from swarm_spark.operators.similarity import ivf_assign, ivf_centroids, ivf_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(embs, 8)
+    assigned = ivf_assign(embs, cents)
+    q = [r[0] for r in embs.filter(F.col("vec_id") == 0)
+         .select(F.explode("embedding")).collect()]
+    return ivf_topk(assigned, cents, q, k=10, n_probe=4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas features
+    (rows-only; payloads are deterministic synthetic fixtures)."""
+    from swarm_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=60)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "frame_idx"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "text_stats": q_text_stats,
+    "embedding_knn": q_embedding_knn,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "ann_ivf": q_ann_ivf,
+    "media_features": q_media_features,
     "parse_extract": q_parse_extract,
     "turn_ordering": q_turn_ordering,
     "pipeline_route": q_pipeline_route,
@@ -216,8 +328,127 @@ routed AS (
 """
 
 
+# shared oracle CTE fragments for the documents operators
+_DOC_TOKS = r"""
+doc_toks AS (
+  SELECT *,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents)
+"""
+
+_STOP_EN = "['the','and','of','to','in','is','that','it','was','for']"
+_LANG_LISTS = {
+    "en": _STOP_EN,
+    "de": "['der','die','und','das','ist','von','mit','den','nicht','ein']",
+    "fr": "['le','la','les','et','des','est','dans','que','une','pour']",
+    "es": "['el','la','los','de','que','es','en','un','por','con']",
+}
+
+
+def _textstats_oracle() -> str:
+    hits = ",\n         ".join(
+        f"len(list_intersect(list_distinct(toks), {lst})) AS h_{lang}"
+        for lang, lst in _LANG_LISTS.items()
+    )
+    langs = list(_LANG_LISTS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} >= 1"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"h_{lang} > h_{other}")
+            elif j > i:
+                conds.append(f"h_{lang} >= h_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return rf"""
+        WITH {_DOC_TOKS.strip()},
+        feats AS (
+          SELECT doc_id, toks, n_chars,
+                 len(toks) AS n_tokens,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                 {hits}
+          FROM doc_toks),
+        scored AS (
+          SELECT doc_id,
+                 n_tokens AS n_tokens_ws,
+                 n_bpe AS n_tokens_bpe,
+                 n_alpha / greatest(n_chars, 1) AS alpha_raw,
+                 n_punct / greatest(n_chars, 1) AS punct_raw,
+                 n_digit / greatest(n_chars, 1) AS digit_raw,
+                 (n_chars - (n_tokens - 1)) / n_tokens AS mtl,
+                 h_en AS stop_hits,
+                 {lang_case} AS lang_pred,
+                 md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+          FROM feats)
+        SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+               round(alpha_raw, 4) AS alpha_ratio,
+               round(punct_raw, 4) AS punct_ratio,
+               round(0.3 * (CASE WHEN n_tokens_ws BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN mtl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN stop_hits >= 2 THEN 1.0 ELSE 0.0 END)
+                   + 0.2 * alpha_raw
+                   + 0.1 * (1.0 - least(digit_raw * 4, 1.0)), 4) AS quality,
+               lang_pred, fingerprint
+        FROM scored
+    """
+
+
+_SHINGLES = r"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS shs
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents))
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact": r"""
+            WITH h AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, lang, source FROM h WHERE rn = 1
+        """,
+        "jaccard_pairs": rf"""
+            WITH {_SHINGLES.strip()},
+            ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (na + nb - inter), 4) AS jaccard
+            FROM pairs
+            WHERE round(inter / (na + nb - inter), 4) >= 0.2
+        """,
+        "text_stats": _textstats_oracle(),
+        "embedding_knn": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            ex AS (SELECT vec_id, unnest(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS i FROM embeddings),
+            eq AS (SELECT unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM q)
+            SELECT ex.vec_id,
+                   CAST(sum(CAST(round(CAST(ex.v AS DOUBLE) * 1024) AS BIGINT)
+                          * CAST(round(CAST(eq.v AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS dq
+            FROM ex JOIN eq ON ex.i = eq.i
+            GROUP BY ex.vec_id
+            ORDER BY dq DESC, ex.vec_id
+            LIMIT 20
+        """,
         "parse_extract": f"""
             WITH {_PARSED.lstrip()}
             SELECT conv_id, turn_idx, role, tool, called_tool, call_args,

@@ -1,0 +1,129 @@
+"""Text analysis for corpus curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything here is pure Column expressions (regexp/array lambdas) so
+the operators run inside WholeStageCodegen at full scan speed, and so
+each one has an exact ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word-ish tokens: letter runs, digit runs, or single non-space symbols
+# (the "BPE-ish" regex — splits punctuation off words the way byte-pair
+# pretokenizers do)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+}
+
+
+def ws_tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token count via the pretokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def quality_features(col) -> dict[str, Column]:
+    """Raw quality signals (each SQL-expressible)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = ws_tokens(col)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # ≈ chars per token
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": n_alpha / F.greatest(n_chars, F.lit(1)),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "digit_ratio": n_digit / F.greatest(n_chars, F.lit(1)),
+        "stopword_hits": n_stop,
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality score — a Gopher/C4-style heuristic:
+    rewards alphabetic text of sane length with some stopwords,
+    penalizes digit/punct-heavy or degenerate docs. Deterministic,
+    documented formula (weights are part of the contract)."""
+    f = quality_features(col)
+    len_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.0)
+    tok_ok = F.when((f["mean_token_len"] >= 2) & (f["mean_token_len"] <= 12), 1.0).otherwise(0.0)
+    stop_ok = F.when(f["stopword_hits"] >= 2, 1.0).otherwise(0.0)
+    score = (
+        0.3 * len_ok
+        + 0.2 * tok_ok
+        + 0.2 * stop_ok
+        + 0.2 * f["alpha_ratio"]
+        + 0.1 * (1.0 - F.least(f["digit_ratio"] * 4, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def langid(col) -> Column:
+    """Stopword-profile language ID: count distinct profile hits per
+    language over the doc's token set; argmax wins, ties broken by
+    profile order; no hits → 'und'. A pure array-intersection
+    heuristic — no model, fully SQL-expressible."""
+    toks = F.array_distinct(ws_tokens(col))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    expr = F.lit("und")
+    # first profile (in declaration order) with the max hit count ≥ 1
+    for lang in reversed(langs):
+        cond = hits[lang] >= 1
+        for other in langs:
+            if other != lang:
+                cond = cond & (hits[lang] >= hits[other]) if langs.index(other) > langs.index(lang) \
+                    else cond & (hits[lang] > hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (a set-semantics content signature robust to
+    shuffling/duplication — the rolling-hash analogue for bag-of-words
+    identity)."""
+    c = F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(col))))
+    return F.md5(c)
+
+
+def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        feats["n_tokens"].alias("n_tokens_ws"),
+        token_count_bpe(text_col).alias("n_tokens_bpe"),
+        F.round(feats["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        langid(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
