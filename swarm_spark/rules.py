@@ -109,24 +109,18 @@ def route(
     """
     matched = df.withColumn("_schemas", compile_event_rules(event_rules))
     if on_unmatched == "error":
-        # Single-pass guard: count unmatched via observation, fail fast
-        # at action time. Avoids a second scan.
-        from pyspark.sql import Observation
-
-        obs = Observation("route_unmatched")
-        matched = matched.observe(
-            obs, F.sum(F.when(F.size("_schemas") == 0, 1).otherwise(0)).alias("unmatched")
+        matched = matched.withColumn("schema_name", F.explode_outer("_schemas"))
+        # raise inside a FILTER predicate: filters are never pruned by
+        # column pruning, so the guard fires on ANY action over the
+        # routed rows (a raise in a projected column would be silently
+        # dropped by e.g. count()).
+        guard = F.when(F.col("schema_name").isNotNull(), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(F.lit("no event rule matched row (ErrNoPolicyResult): "),
+                         F.to_json(F.struct(*df.columns)))
+            ).cast("boolean")
         )
-        matched = matched.withColumn(
-            "schema_name",
-            F.when(F.size("_schemas") > 0, F.explode_outer("_schemas")).otherwise(
-                F.raise_error(
-                    F.concat(F.lit("no event rule matched row (ErrNoPolicyResult): "),
-                             F.to_json(F.struct(*df.columns)))
-                )
-            ),
-        )
-        return matched.drop("_schemas")
+        return matched.filter(guard).drop("_schemas")
     if on_unmatched == "skip":
         return (
             matched.withColumn("schema_name", F.explode("_schemas")).drop("_schemas")

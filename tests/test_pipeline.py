@@ -166,5 +166,5 @@ def test_unmatched_error_mode(spark, pipeline, transcripts):
     from swarm_spark.rules import EventRule, route
 
     only_err = [EventRule("e", "error_code", "startswith", "ERR-", "error_events")]
-    with pytest.raises(Exception):  # ErrNoPolicyResult analogue
+    with pytest.raises(Exception, match="ErrNoPolicyResult"):
         route(pipeline.parsed(transcripts), only_err, on_unmatched="error").count()

@@ -1,0 +1,150 @@
+"""Object-source parsing (gzip/NDJSON/multi-doc/explode golden cases,
+FIXTURES.md §4) and streaming ingest."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write(path: str, content: str, gz: bool = False) -> None:
+    if gz:
+        with gzip.open(path, "wt") as fh:
+            fh.write(content)
+    else:
+        with open(path, "w") as fh:
+            fh.write(content)
+
+
+# a CloudTrail-SHAPED fixture (structure only; synthetic values)
+BATCH_DOC = json.dumps({
+    "Records": [
+        {"eventName": f"Evt{i}", "eventTime": f"2026-01-01T00:00:0{i}Z",
+         "actor": {"name": f"user{i}", "id": i}}
+        for i in range(4)
+    ]
+})
+
+NDJSON = '{"a":1}\n{"a":2}\n{"a":3}\n'
+CONCAT = '{"x":1}{"x":2} {"x":3}\n\n{"x":4}'
+
+
+class TestMultiDocJson:
+    def test_ndjson(self, spark, tmp_path):
+        from swarm_spark.sources.objects import read_multidoc_json
+
+        p = str(tmp_path / "a.json")
+        _write(p, NDJSON)
+        docs = read_multidoc_json(spark, p).orderBy("ordinal").collect()
+        assert [json.loads(d.doc)["a"] for d in docs] == [1, 2, 3]
+
+    def test_concatenated_docs(self, spark, tmp_path):
+        from swarm_spark.sources.objects import read_multidoc_json
+
+        p = str(tmp_path / "b.json")
+        _write(p, CONCAT)
+        docs = read_multidoc_json(spark, p).orderBy("ordinal").collect()
+        assert [json.loads(d.doc)["x"] for d in docs] == [1, 2, 3, 4]
+
+    def test_single_doc(self, spark, tmp_path):
+        from swarm_spark.sources.objects import read_multidoc_json
+
+        p = str(tmp_path / "c.json")
+        _write(p, BATCH_DOC)
+        docs = read_multidoc_json(spark, p).collect()
+        assert len(docs) == 1
+
+    def test_gzip_parity(self, spark, tmp_path):
+        """FIXTURES.md §4: same object plain vs gzip → identical records."""
+        from swarm_spark.sources.objects import read_multidoc_json
+
+        plain = str(tmp_path / "d.json")
+        gzed = str(tmp_path / "d.json.gz")
+        _write(plain, BATCH_DOC)
+        _write(gzed, BATCH_DOC, gz=True)
+        a = [r.doc for r in read_multidoc_json(spark, plain).collect()]
+        b = [r.doc for r in read_multidoc_json(spark, gzed).collect()]
+        assert a == b
+
+    def test_explode_records_1_to_n(self, spark, tmp_path):
+        """FIXTURES.md §4: one record with Records:[4] → 4 routed rows."""
+        from swarm_spark.sources.objects import explode_records, read_multidoc_json
+
+        p = str(tmp_path / "e.json")
+        _write(p, BATCH_DOC)
+        recs = explode_records(read_multidoc_json(spark, p)).collect()
+        assert len(recs) == 4
+        names = sorted(json.loads(r.record)["eventName"] for r in recs)
+        assert names == ["Evt0", "Evt1", "Evt2", "Evt3"]
+
+    def test_explode_passthrough_without_records(self, spark, tmp_path):
+        from swarm_spark.sources.objects import explode_records, read_multidoc_json
+
+        p = str(tmp_path / "f.json")
+        _write(p, '{"plain": true}')
+        recs = explode_records(read_multidoc_json(spark, p)).collect()
+        assert len(recs) == 1 and json.loads(recs[0].record)["plain"] is True
+
+
+@pytest.fixture()
+def stream_setup(spark, tmp_path):
+    from swarm_spark.datagen import generate_transcripts
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+
+    src = str(tmp_path / "src")
+    t = generate_transcripts(spark, 1500, n_convs=30, seed=42)
+    t.write.parquet(src)
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=str(tmp_path / "wh"),
+        tool_dim=default_tool_dim(spark),
+        sink_concurrency=2,
+    )
+    return src, IngestPipeline(spark, cfg), t
+
+
+class TestStreaming:
+    def test_stream_ingest_matches_batch(self, spark, stream_setup, tmp_path):
+        from swarm_spark.streaming.ingest import start_ingest_stream, stream_transcripts
+
+        src, pipe, t = stream_setup
+        stream = stream_transcripts(spark, src, max_files_per_trigger=2)
+        q = start_ingest_stream(stream, pipe, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        # batch reference over the same rows (ordering-free路徑)
+        pipe.config.assume_ordered = True
+        exp = pipe.routed(t, ingest_id="x").groupBy("sink_table").count().collect()
+        exp_counts = {r.sink_table: r["count"] for r in exp}
+        got_counts = {
+            s: pipe.catalog.table(s).read(spark).count() for s in exp_counts
+        }
+        assert got_counts == exp_counts
+
+    def test_streaming_hourly_counts(self, spark, stream_setup, tmp_path):
+        from swarm_spark.streaming.ingest import hourly_counts_stream, stream_transcripts
+
+        src, pipe, t = stream_setup
+        agg = hourly_counts_stream(stream_transcripts(spark, src), pipe)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory").queryName("hourly_out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT sum(n) FROM hourly_out").collect()[0][0]
+        pipe.config.assume_ordered = True
+        exp = pipe.routed(t, ingest_id="x").count()
+        assert got == exp
