@@ -93,7 +93,7 @@ class JsonIngest:
                 raise ValueError(f"event rule {er.rule_id} → unknown schema {er.schema_name}")
 
     # -- plan ----------------------------------------------------------
-    def records(self, path: str) -> DataFrame:
+    def records(self, path: str | list[str]) -> DataFrame:
         """files → documents → event routing → per-record explode →
         normalized record rows with envelope columns."""
         from .sources.objects import explode_records, read_multidoc_json

@@ -36,7 +36,7 @@ def read_ndjson(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
-def read_multidoc_json(spark: SparkSession, path: str) -> DataFrame:
+def read_multidoc_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Concatenated/streamed JSON documents: each FILE may hold any
     mix of whitespace-separated or back-to-back JSON values. Returns
     (path string, doc string) — one row per decoded document, each
@@ -46,6 +46,8 @@ def read_multidoc_json(spark: SparkSession, path: str) -> DataFrame:
     semantic of swarm's json.Decoder `More()` loop (load.go:271-280).
     Files must fit in memory individually (same constraint as the
     reference, which buffers per object)."""
+    if isinstance(path, str) and "," in path:
+        path = path.split(",")
     whole = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value")
     )
