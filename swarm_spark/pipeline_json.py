@@ -130,6 +130,65 @@ class JsonIngest:
             res = res.unionByName(o)
         return res
 
+    # -- schema-only dry run (≙ `swarm schema`, pkg/usecase/schema.go:13-90:
+    # run the full parse+infer+evolve path, insert NOTHING) -------------
+    def schema_only(self, path: str | list[str]) -> dict[str, str]:
+        """Apply schema inference + table create/evolve without
+        inserting rows. Returns {sink_table: merged schema json}."""
+        recs = self.records(path).persist()
+        out: dict[str, str] = {}
+        try:
+            for schema_name, r in self.rules.items():
+                docs_only = recs.filter(F.col("schema_name") == schema_name).select("data")
+                if docs_only.isEmpty():
+                    continue
+                inferred = self.spark.read.json(
+                    docs_only.rdd.map(lambda row: row["data"])
+                ).schema
+                envelope = recs.filter(F.col("schema_name") == schema_name).select(
+                    "id",
+                    F.lit("schema-dry-run").alias("ingest_id"),
+                    "timestamp",
+                    F.current_timestamp().alias("ingested_at"),
+                    F.from_json("data", inferred).alias("data"),
+                )
+                t = self.catalog.table(r.sink_table)
+                t.append(envelope.limit(0), partition_unit=r.partition_unit,
+                         ts_col="timestamp")
+                out[r.sink_table] = t.schema().json()
+        finally:
+            recs.unpersist()
+        return out
+
+    # -- dump sink (≙ swarm --dry-run NDJSON dump,
+    # pkg/infra/dump/client.go:47-104 — the golden-output mechanism) ----
+    def dump(self, path: str | list[str], out_dir: str) -> dict[str, str]:
+        """Write routed records as NDJSON per sink + schema JSON files;
+        no tables touched."""
+        import os
+
+        recs = self.records(path).persist()
+        written: dict[str, str] = {}
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+            for schema_name, r in self.rules.items():
+                part = recs.filter(F.col("schema_name") == schema_name)
+                if part.isEmpty():
+                    continue
+                dst = os.path.join(out_dir, f"{r.sink_table}.log")
+                part.select("id", "timestamp", "data").coalesce(1).write.mode(
+                    "overwrite"
+                ).json(dst)
+                inferred = self.spark.read.json(
+                    part.select("data").rdd.map(lambda row: row["data"])
+                ).schema
+                with open(os.path.join(out_dir, f"{r.sink_table}.schema.json"), "w") as fh:
+                    fh.write(inferred.json())
+                written[r.sink_table] = dst
+        finally:
+            recs.unpersist()
+        return written
+
     # -- execute -------------------------------------------------------
     def run(self, path: str, batch_id: str, request_id: str | None = None) -> dict:
         request_id = request_id or uuid.uuid4().hex
