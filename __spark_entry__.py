@@ -237,6 +237,52 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cents, q, k=10, n_probe=4)
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per nation (window rank over broadcast
+    join) — the top-k-per-group OLAP pattern."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap):
+    lag + cumulative sum of gap flags — the standard windowed
+    session-id construction. Returns per-session aggregates."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet may carry TIMESTAMP_NTZ; with the session pinned to UTC
+    # the LTZ cast is identity, and unix_seconds gives epoch seconds
+    secs = F.unix_seconds(F.col("ts").cast("timestamp"))
+    gap = F.when(secs - F.lag(secs).over(w) > 1800, 1).otherwise(0)
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_idx", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas features
     (rows-only; payloads are deterministic synthetic fixtures)."""
@@ -258,6 +304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
+    "topk_per_group": q_topk_per_group,
+    "sessionize": q_sessionize,
     "parse_extract": q_parse_extract,
     "turn_ordering": q_turn_ordering,
     "pipeline_route": q_pipeline_route,
@@ -490,6 +538,37 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ROUTED.lstrip()}
             SELECT sink_table AS sink, count(*) AS log_count
             FROM routed GROUP BY 1
+        """,
+        "topk_per_group": """
+            WITH j AS (
+              SELECT n_name, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY n_name
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey)
+            SELECT n_name, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+            FROM j WHERE rk <= 3
+        """,
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            sess AS (
+              SELECT user_id, event_id,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_idx
+              FROM s)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event,
+                   max(event_id) AS last_event
+            FROM sess GROUP BY 1, 2
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -50,9 +50,22 @@ def job():
     agg = pipe.aggregate(routed)
     return agg.select(F.sum("n")).collect()[0][0]
 
-job()  # warm-up: JIT, code cache, file footer cache
-t0 = time.time(); n = job(); sec = time.time() - t0
-print(json.dumps({{"cpus": cpus, "sec": round(sec, 3), "routed_rows": int(n)}}))
+# Warm up to JIT steady state: the codegen'd stages (regex, md5, CASE
+# chains) take several invocations before C2 compiles the hot paths —
+# first runs are 5-8x slower. Warm until two consecutive runs are
+# within 20%, then time.
+prev = None
+for _ in range(6):
+    t0 = time.time(); job(); w = time.time() - t0
+    if prev is not None and w > 0.8 * prev:
+        break
+    prev = w
+times = []
+for _ in range(3):
+    t0 = time.time(); n = job(); times.append(time.time() - t0)
+sec = min(times)
+print(json.dumps({{"cpus": cpus, "sec": round(sec, 3), "routed_rows": int(n),
+                   "times": [round(x, 3) for x in times]}}))
 """
 
 BURN = r"""
@@ -77,14 +90,19 @@ if __name__ == "__main__":
 
 
 def run_leg(cpus: int, inp: str) -> dict:
+    import shutil
+
     wh = tempfile.mkdtemp(prefix=f"scale_wh_{cpus}_")
-    code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, wh=wh, inp=inp)
-    out = subprocess.run([sys.executable, "-c", code],
-                         capture_output=True, text=True, timeout=1800)
-    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"leg cpus={cpus} failed:\n{out.stderr[-2000:]}")
-    return json.loads(lines[-1])
+    try:
+        code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, wh=wh, inp=inp)
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=1800)
+        lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"leg cpus={cpus} failed:\n{out.stderr[-2000:]}")
+        return json.loads(lines[-1])
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 def hardware_speedup(n_lo: int, n_hi: int) -> dict:
