@@ -283,6 +283,77 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate with grouping indicators."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns per returnflag."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins: per-nation counts of customers with and
+    without orders."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with_o = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without_o = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    a = with_o.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_with")) \
+        .withColumnRenamed("c_nationkey", "nk_a")
+    b = without_o.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_without")) \
+        .withColumnRenamed("c_nationkey", "nk_b")
+    return (
+        nation.join(F.broadcast(a), nation.n_nationkey == a.nk_a, "left")
+        .join(F.broadcast(b), nation.n_nationkey == b.nk_b, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-curation pipeline: exact dedup → near-dup
+    removal (inverted-index Jaccard ≥ 0.5, min-id wins) → quality
+    gate — the end-to-end training-data filter."""
+    from swarm_spark.operators.dedup import dedup_exact, jaccard_pairs_inverted
+    from swarm_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survivors = dedup_exact(docs)
+    losers = (
+        jaccard_pairs_inverted(survivors, k=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = survivors.join(losers, "doc_id", "left_anti")
+    return (
+        kept.withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.4)
+        .select("doc_id", "lang", "quality")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas features
     (rows-only; payloads are deterministic synthetic fixtures)."""
@@ -306,6 +377,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
+    "rollup": q_rollup,
+    "pivot": q_pivot,
+    "semi_anti": q_semi_anti,
+    "curation": q_curation,
     "parse_extract": q_parse_extract,
     "turn_ordering": q_turn_ordering,
     "pipeline_route": q_pipeline_route,
@@ -569,6 +644,77 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS first_event,
                    max(event_id) AS last_event
             FROM sess GROUP BY 1, 2
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS n,
+                   CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                   CAST(grouping(l_linestatus) AS INT) AS g_ls
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   sum(l_quantity) FILTER (l_linestatus = 'O') AS qty_open,
+                   sum(l_quantity) FILTER (l_linestatus = 'F') AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "semi_anti": """
+            SELECT n_name,
+                   count(*) FILTER (has_o) AS n_with,
+                   count(*) FILTER (NOT has_o) AS n_without
+            FROM (
+              SELECT c_nationkey,
+                     EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+              FROM customer) c
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
+        """,
+        "curation": r"""
+            WITH survivors AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM survivors),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(generate_series(1, len(t) - 2),
+                                           i -> array_to_string(t[i:i+2], ' '))
+                       ELSE [array_to_string(t, ' ')] END) AS shs
+              FROM toks),
+            ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+            losers AS (
+              SELECT DISTINCT b.doc_id
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n, b.n
+              HAVING round(count(*) / (a.n + b.n - count(*)), 4) >= 0.5),
+            kept AS (
+              SELECT s.* FROM survivors s
+              WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)),
+            feats AS (
+              SELECT doc_id, lang, text,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+              FROM kept),
+            scored AS (
+              SELECT doc_id, lang,
+                     round(0.3 * (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                         + 0.2 * (CASE WHEN (n_chars - (len(toks) - 1)) / len(toks) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                         + 0.2 * (CASE WHEN len(list_intersect(list_distinct(toks),
+                             ['the','and','of','to','in','is','that','it','was','for'])) >= 2 THEN 1.0 ELSE 0.0 END)
+                         + 0.2 * (n_alpha / greatest(n_chars, 1))
+                         + 0.1 * (1.0 - least(n_digit / greatest(n_chars, 1) * 4, 1.0)), 4) AS quality
+              FROM feats)
+            SELECT doc_id, lang, quality FROM scored WHERE quality >= 0.4
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
