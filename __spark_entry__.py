@@ -354,6 +354,41 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window construction): attach to every event
+    the most recent prior-or-same-time signup event of the same user."""
+    from swarm_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("user_id", "event_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("vts"), F.col("event_id").alias("signup_id"))
+    )
+    out = asof_join(left, right, by="user_id", left_ts="ts", right_ts="vts",
+                    value_cols=["signup_id"])
+    return out.select("user_id", "event_id", "signup_id")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval range join: click-event values
+    falling inside same-user purchase-value bands [v, v+50)."""
+    from swarm_spark.operators.joins import range_join_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("value").alias("v")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                F.col("value").alias("lo"), (F.col("value") + 50.0).alias("hi"))
+    )
+    out = range_join_bucketed(left, right, left_point="v", right_lo="lo",
+                              right_hi="hi", bucket_width=50.0, by="user_id")
+    return out.select("user_id", "click_id", "purchase_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas features
     (rows-only; payloads are deterministic synthetic fixtures)."""
@@ -381,6 +416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot": q_pivot,
     "semi_anti": q_semi_anti,
     "curation": q_curation,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "parse_extract": q_parse_extract,
     "turn_ordering": q_turn_ordering,
     "pipeline_route": q_pipeline_route,
@@ -644,6 +681,19 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS first_event,
                    max(event_id) AS last_event
             FROM sess GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT l.user_id, l.event_id, r.event_id AS signup_id
+            FROM events l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id
+             AND l.value >= r.value AND l.value < r.value + 50.0
         """,
         "rollup": """
             SELECT l_returnflag, l_linestatus,

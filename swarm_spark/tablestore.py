@@ -219,6 +219,34 @@ class IcepackTable:
         self._commit(snap)
         return snap
 
+    def compact(self, spark: SparkSession, target_files: int | None = None) -> dict:
+        """Small-file compaction (the rewrite_data_files maintenance
+        op): rewrite CURRENT contents into a single fresh data dir
+        with a bounded file count, preserving schema + partitioning.
+        Appends a new snapshot (op='compact') — time travel to
+        pre-compaction snapshots still works."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        df = self.read(spark)
+        if target_files:
+            df = df.coalesce(target_files)
+        ddir, n = self._write_data(df, snap.get("partition_unit", ""), snap.get("ts_col", "timestamp"))
+        new = {
+            "parent": snap["snapshot_id"],
+            "op": "compact",
+            "data_dirs": [ddir],
+            "schema": snap["schema"],
+            "partition_unit": snap.get("partition_unit", ""),
+            "ts_col": snap.get("ts_col", "timestamp"),
+            "row_count": n,
+            "added_rows": 0,
+            "committed_at": time.time(),
+            "snapshot_id": None,
+        }
+        self._commit(new)
+        return new
+
     # -- read ----------------------------------------------------------
     def read(
         self,

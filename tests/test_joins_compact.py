@@ -1,0 +1,107 @@
+"""As-of join, range join, icepack compaction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, spark):
+        from swarm_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [("a", 1, ts("2026-01-01T10:00")), ("a", 2, ts("2026-01-01T12:00")),
+             ("a", 3, ts("2026-01-01T09:00")), ("b", 4, ts("2026-01-01T10:00"))],
+            "k string, eid int, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("a", "v1", ts("2026-01-01T09:30")), ("a", "v2", ts("2026-01-01T11:00")),
+             ("c", "vX", ts("2026-01-01T00:00"))],
+            "k string, ver string, vts timestamp",
+        )
+        out = {r.eid: r.ver for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="vts",
+            value_cols=["ver"]).collect()}
+        assert out == {1: "v1", 2: "v2", 3: None, 4: None}
+
+    def test_equal_ts_matches(self, spark):
+        from swarm_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([("a", 1, ts("2026-01-01T10:00"))],
+                                     "k string, eid int, ts timestamp")
+        right = spark.createDataFrame([("a", "v0", ts("2026-01-01T10:00"))],
+                                      "k string, ver string, vts timestamp")
+        (row,) = asof_join(left, right, by="k", left_ts="ts", right_ts="vts",
+                           value_cols=["ver"]).collect()
+        assert row.ver == "v0"  # >= semantics (DuckDB ASOF parity)
+
+    def test_multiple_value_cols(self, spark):
+        from swarm_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([("a", 1, ts("2026-01-01T10:00"))],
+                                     "k string, eid int, ts timestamp")
+        right = spark.createDataFrame(
+            [("a", "v0", 7, ts("2026-01-01T09:00"))],
+            "k string, ver string, n int, vts timestamp",
+        )
+        (row,) = asof_join(left, right, by="k", left_ts="ts", right_ts="vts").collect()
+        assert (row.ver, row.n) == ("v0", 7)
+
+
+class TestRangeJoin:
+    def test_point_in_interval(self, spark):
+        from swarm_spark.operators.joins import range_join_bucketed
+
+        left = spark.createDataFrame(
+            [("a", 1, 5.0), ("a", 2, 149.9), ("a", 3, 150.0), ("b", 4, 5.0)],
+            "k string, pid int, p double",
+        )
+        right = spark.createDataFrame(
+            [("a", 10, 0.0, 10.0), ("a", 11, 100.0, 150.0)],
+            "k string, iid int, lo double, hi double",
+        )
+        got = {(r.pid, r.iid) for r in range_join_bucketed(
+            left, right, "p", "lo", "hi", bucket_width=25.0, by="k").collect()}
+        assert got == {(1, 10), (2, 11)}  # hi exclusive; keys respected
+
+    def test_no_cartesian_in_plan(self, spark):
+        from swarm_spark.operators.joins import range_join_bucketed
+        from swarm_spark.plans.skew import physical_plan
+
+        left = spark.range(10).select(F.col("id").cast("double").alias("p"))
+        right = spark.range(5).select(
+            (F.col("id") * 10.0).alias("lo"), (F.col("id") * 10.0 + 5).alias("hi")
+        )
+        out = range_join_bucketed(left, right, "p", "lo", "hi", bucket_width=10.0)
+        plan = physical_plan(out)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCompaction:
+    def test_compact_preserves_data_reduces_files(self, spark, tmp_path):
+        import glob
+
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        for i in range(5):  # 5 snapshots → many small files
+            t.append(spark.createDataFrame([(i, f"v{i}")], "id bigint, v string"))
+        before = t.read(spark).orderBy("id").collect()
+        n_files_before = len(glob.glob(f"{t.data}/*/**/*.parquet", recursive=True))
+
+        snap = t.compact(spark, target_files=1)
+        after = t.read(spark).orderBy("id").collect()
+        assert after == before
+        assert snap["op"] == "compact" and snap["row_count"] == 5
+        cur = t.current_snapshot()
+        files_now = glob.glob(f"{cur['data_dirs'][0]}/**/*.parquet", recursive=True)
+        assert len(files_now) < n_files_before
+        # time travel to pre-compaction still works
+        assert t.read(spark, snapshot_id=snap["parent"]).count() == 5
