@@ -73,6 +73,39 @@ def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "called_tool", "call_args", "error_code", "actor")
 
 
+def q_grok_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized grok path (pandas UDF, compiled pattern
+    dictionary) — must produce byte-identical output to the JVM
+    regexp path, so it shares parse_extract's oracle."""
+    from swarm_spark.functions.extract import with_grok
+
+    t = transcripts_from_events(spark, sf_dir)
+    return with_grok(t).select(
+        "conv_id", "turn_idx", "role", "tool",
+        "called_tool", "call_args", "error_code", "actor",
+    )
+
+
+def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage: run a small exactly-once ingest into a
+    temp warehouse and surface the audit + snapshot lineage rows
+    (run-stamped — rows-only check)."""
+    t = transcripts_from_events(spark, sf_dir).limit(2000)
+    pipe = _pipeline(spark)
+    res = pipe.run(t, batch_id="lineage-demo")
+    rows = []
+    for sink, sid in sorted(res.snapshot_ids.items()):
+        snap = pipe.catalog.table(sink).current_snapshot()
+        rows.append((res.batch_id, sink, int(sid), snap.get("parent"),
+                     int(snap["added_rows"]), int(snap["row_count"]),
+                     snap.get("partition_unit") or ""))
+    return spark.createDataFrame(
+        rows,
+        "batch_id string, sink string, snapshot_id bigint, parent bigint, "
+        "added_rows bigint, row_count bigint, partition_unit string",
+    )
+
+
 def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star ordering window: row_number over (conv_id, turn_idx)."""
     t = transcripts_from_events(spark, sf_dir)
@@ -418,6 +451,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation": q_curation,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "grok_extract": q_grok_extract,
+    "lineage": q_lineage,
     "parse_extract": q_parse_extract,
     "turn_ordering": q_turn_ordering,
     "pipeline_route": q_pipeline_route,
@@ -610,6 +645,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "parse_extract": f"""
+            WITH {_PARSED.lstrip()}
+            SELECT conv_id, turn_idx, role, tool, called_tool, call_args,
+                   error_code, actor
+            FROM parsed
+        """,
+        "grok_extract": f"""
             WITH {_PARSED.lstrip()}
             SELECT conv_id, turn_idx, role, tool, called_tool, call_args,
                    error_code, actor
