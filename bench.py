@@ -68,16 +68,23 @@ def main() -> None:
     # stages need several invocations before C2 compiles them (first
     # runs are 5-8x slower — see tools/scaling_bench.py). Warm with
     # the route+agg plan so every shared stage is hot before timing.
-    warm_pipe = mkpipe(tempfile.mkdtemp(prefix="swarm_bench_warm_"))
-    warm_t = transcripts_from_events(spark, SF_DIR)
-    prev = None
-    for _ in range(5):
-        t0 = time.time()
-        warm_pipe.aggregate(warm_pipe.routed(warm_t)).count()
-        w = time.time() - t0
-        if prev is not None and w > 0.8 * prev:
-            break
-        prev = w
+    warm_wh = tempfile.mkdtemp(prefix="swarm_bench_warm_")
+    try:
+        warm_pipe = mkpipe(warm_wh)
+        warm_t = transcripts_from_events(spark, SF_DIR)
+        prev = None
+        for _ in range(5):
+            t0 = time.time()
+            warm_pipe.aggregate(warm_pipe.routed(warm_t)).count()
+            w = time.time() - t0
+            if prev is not None and w > 0.8 * prev:
+                break
+            prev = w
+        # warm the write/commit plans too (sink parquet writers JIT
+        # separately from the read/agg path)
+        warm_pipe.run(warm_t, batch_id="warm")
+    finally:
+        shutil.rmtree(warm_wh, ignore_errors=True)
 
     # -- ingest_e2e -------------------------------------------------
     wh = tempfile.mkdtemp(prefix="swarm_bench_wh_")
@@ -101,6 +108,22 @@ def main() -> None:
     timed("gen_route_1m", lambda: pipe2.aggregate(pipe2.routed(gen)).count())
     extras["gen_rows"] = GEN_ROWS
     extras["gen_turns_per_sec"] = round(GEN_ROWS / timings["gen_route_1m"], 1)
+
+    # -- END-TO-END ingest at 1M rows (sinks+agg+audit committed):
+    # amortizes the fixed per-commit costs that dominate ingest_e2e at
+    # sf scale, giving the representative e2e turns/sec
+    gen_path = tempfile.mkdtemp(prefix="swarm_bench_gen_")
+    gen.write.mode("overwrite").parquet(gen_path)
+    gen_in = spark.read.parquet(gen_path)
+    wh3 = tempfile.mkdtemp(prefix="swarm_bench_wh3_")
+    try:
+        pipe3 = mkpipe(wh3)
+        res3 = timed("ingest_1m_e2e", lambda: pipe3.run(gen_in, batch_id="bench1m"))
+        extras["ingest_1m_turns_per_sec"] = round(GEN_ROWS / timings["ingest_1m_e2e"], 1)
+        extras["ingest_1m_routed_rows"] = res3.routed_rows
+    finally:
+        shutil.rmtree(wh3, ignore_errors=True)
+        shutil.rmtree(gen_path, ignore_errors=True)
 
     # -- generic reference queries ----------------------------------
     import __spark_entry__ as e

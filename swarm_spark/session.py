@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # Target ~128MB input splits at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # v2 commit: tasks move their own files at completion instead of
+        # a sequential driver-side rename per partition dir — a write
+        # into many hive partitions (hour transform = 720 dirs/month)
+        # is otherwise driver-commit bound. Safe here: icepack's
+        # snapshot pointer provides the atomicity, not the committer.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )

@@ -159,12 +159,18 @@ class IcepackTable:
         ddir = os.path.join(self.data, f"s-{uuid.uuid4().hex}")
         if partition_unit:
             df = df.withColumn("_p", F.date_format(F.col(ts_col), _PART_FMT[partition_unit]))
-            # Without this, every task writes a file into every hive
-            # partition (tasks × partitions tiny files — catastrophic at
-            # scale). REBALANCE shuffles rows so each _p lands in few
-            # tasks, while AQE both coalesces small partitions and
-            # SPLITS skewed ones (hot hours) into multiple files.
-            df = df.hint("rebalance", "_p")
+            # Shuffle on _p before the partitioned write. Two failure
+            # modes to avoid: (1) no shuffle → every task writes a file
+            # into every hive partition (tasks × partitions tiny files);
+            # (2) REBALANCE + AQE → tiny batches coalesce to ONE task
+            # that creates thousands of partition dirs SEQUENTIALLY
+            # (file-creation latency bound). An explicit-count hash
+            # repartition on _p keeps file creation parallel across the
+            # full task width AND one file per hive partition. Hot
+            # partitions (a single huge hour) are bounded per-file by
+            # maxRecordsPerFile downstream if needed.
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            df = df.repartition(n, F.col("_p"))
         # row count rides the write action itself — one pass, no extra
         # scan (≙ swarm's append-count verify, pkg/infra/bq/client.go:240-248)
         obs = Observation(f"rows-{uuid.uuid4().hex[:8]}")
