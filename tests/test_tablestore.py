@@ -11,32 +11,33 @@ from swarm_spark.tablestore import IcepackCatalog, SchemaConflictError, merge_sc
 
 class TestMergeSchemas:
     def s(self, ddl):
+        # _parse_datatype_string needs an active session (spark fixture)
         from pyspark.sql.types import _parse_datatype_string
 
         return _parse_datatype_string(ddl)
 
-    def test_union_order_preserved_new_appended(self):
+    def test_union_order_preserved_new_appended(self, spark):
         # migrate_test.go:77-113: {name,address} + {name,age} → [name,address,age]
         old = self.s("name string, address string")
         new = self.s("name string, age bigint")
         merged = merge_schemas(old, new)
         assert [f.name for f in merged.fields] == ["name", "address", "age"]
 
-    def test_type_conflict_errors(self):
+    def test_type_conflict_errors(self, spark):
         # migrate_test.go:115-132: age:int vs age:string → error
         old = self.s("age bigint")
         new = self.s("age string")
         with pytest.raises(SchemaConflictError):
             merge_schemas(old, new)
 
-    def test_nested_struct_merge(self):
+    def test_nested_struct_merge(self, spark):
         old = self.s("d struct<a:string>")
         new = self.s("d struct<b:bigint>")
         merged = merge_schemas(old, new)
         inner = merged.fields[0].dataType
         assert [f.name for f in inner.fields] == ["a", "b"]
 
-    def test_identical_noop(self):
+    def test_identical_noop(self, spark):
         old = self.s("a string, b bigint")
         assert merge_schemas(old, old) == T.StructType(
             [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
@@ -92,9 +93,14 @@ class TestIcepackTable:
         )
         pruned = t.read(spark, ts_between=("2026-01-02", "2026-01-03"))
         assert pruned.count() == 2
-        # pruning happens at the file listing level: partition filter
-        # appears as a partition predicate, not a post-scan filter
         assert t.read(spark).count() == 5
+        # pruning is physical: the _p predicate lands in the scan's
+        # PartitionFilters (file listing), not a post-scan Filter
+        from swarm_spark.plans.skew import physical_plan
+
+        plan = physical_plan(pruned)
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and any("_p" in ln for ln in pf), plan
 
     def test_atomicity_visible_only_after_commit(self, spark, tmp_path):
         import os
