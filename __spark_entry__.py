@@ -39,6 +39,14 @@ from swarm_spark.presets import (  # noqa: E402
 # ---------------------------------------------------------------------------
 
 
+def _utc(spark: SparkSession) -> SparkSession:
+    """Timestamps must hash identically to DuckDB's UTC-naive values;
+    session timeZone is runtime-settable, so pin it defensively in
+    case the driver's session wasn't built by swarm_spark.session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _pipeline(spark: SparkSession, warehouse: str | None = None) -> IngestPipeline:
     import tempfile
 
@@ -502,11 +510,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full route+aggregate over sf0.001-derived transcripts."""
-    return q_pipeline_agg_hourly(spark, "/root/testdata/sf0.001")
+    return q_pipeline_agg_hourly(_utc(spark), "/root/testdata/sf0.001")
+
+
+def _wrap_utc(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_utc(spark), sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _wrap_utc(fn) for name, fn in QUERIES.items()}
 
 
 # ---------------------------------------------------------------------------
