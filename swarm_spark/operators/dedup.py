@@ -127,15 +127,17 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("_id"), shingles(text_col).alias("_sh")
     ).withColumn("_sig", minhash_signature("_sh", num_hashes, seed))
+
+    # Memory discipline at corpus scale: the 16-way band explode and
+    # the bucket self-join move ONLY (id, band, bucket) — never the
+    # shingle arrays. Shingles rejoin (two hash joins on id) solely
+    # for the final exact-Jaccard verify over the deduped candidates.
     band_arr = F.array(*[
         F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
         for b in range(bands)
     ])
-    banded = base.select(
-        "_id", "_sh", F.posexplode(band_arr).alias("_band", "_bucket")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    banded = base.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
@@ -143,13 +145,13 @@ def minhash_lsh_pairs(
             & (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("_id", "_sh")
+    cand = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

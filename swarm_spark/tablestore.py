@@ -207,12 +207,13 @@ class IcepackTable:
         self._commit(snap)
         return snap
 
-    def overwrite(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp") -> dict:
+    def overwrite(self, df: DataFrame, partition_unit: str = "",
+                  ts_col: str = "timestamp", op: str = "overwrite") -> dict:
         prev = self.current_snapshot()
         ddir, n = self._write_data(df, partition_unit, ts_col)
         snap = {
             "parent": prev["snapshot_id"] if prev else None,
-            "op": "overwrite",
+            "op": op,
             "data_dirs": [ddir],
             "schema": json.dumps(df.schema.jsonValue()),
             "partition_unit": partition_unit,
@@ -224,6 +225,40 @@ class IcepackTable:
         }
         self._commit(snap)
         return snap
+
+    def merge_upsert(self, spark: SparkSession, df: DataFrame, keys: list[str]) -> dict:
+        """MERGE INTO analogue (upsert by key): incoming rows replace
+        same-key rows, others are kept. No Delta/Iceberg jars in this
+        container, so the implementation is the standard anti-join +
+        union rewrite committed atomically as a new snapshot:
+
+            kept  = current ANTI JOIN incoming ON keys
+            next  = kept UNION BY NAME incoming   (schema evolution ok)
+        """
+        incoming = df
+        if self.exists():
+            current = self.read(spark)
+            schema = merge_schemas(
+                T.StructType.fromJson(json.loads(self.current_snapshot()["schema"])),
+                incoming.schema,
+            )
+            kept = current.join(incoming.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(incoming, allowMissingColumns=True)
+            cols = [
+                F.col(f.name) if f.name in merged.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            merged = merged.select(*cols)
+        else:
+            merged = incoming
+        prev = self.current_snapshot() or {}
+        return self.overwrite(
+            merged,
+            partition_unit=prev.get("partition_unit", ""),
+            ts_col=prev.get("ts_col", "timestamp"),
+            op="merge",
+        )
 
     def compact(self, spark: SparkSession, target_files: int | None = None) -> dict:
         """Small-file compaction (the rewrite_data_files maintenance

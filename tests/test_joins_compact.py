@@ -105,3 +105,58 @@ class TestCompaction:
         assert len(files_now) < n_files_before
         # time travel to pre-compaction still works
         assert t.read(spark, snapshot_id=snap["parent"]).count() == 5
+
+
+class TestMergeUpsert:
+    def test_upsert_replaces_and_inserts(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        t.append(spark.createDataFrame(
+            [(1, "old1"), (2, "old2"), (3, "old3")], "id bigint, v string"))
+        snap = t.merge_upsert(
+            spark,
+            spark.createDataFrame([(2, "NEW2"), (9, "NEW9")], "id bigint, v string"),
+            keys=["id"],
+        )
+        assert snap["op"] == "merge"
+        got = {r.id: r.v for r in t.read(spark).collect()}
+        assert got == {1: "old1", 2: "NEW2", 3: "old3", 9: "NEW9"}
+
+    def test_upsert_with_schema_evolution(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(1, "b", 7)], "id bigint, v string, extra bigint"),
+            keys=["id"],
+        )
+        (row,) = t.read(spark).collect()
+        assert (row.id, row.v, row.extra) == (1, "b", 7)
+
+    def test_upsert_into_empty_table(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        t.merge_upsert(spark, spark.createDataFrame([(1,)], "id bigint"), keys=["id"])
+        assert t.read(spark).count() == 1
+
+    def test_composite_key(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        t.append(spark.createDataFrame(
+            [("a", 1, "x"), ("a", 2, "y")], "k string, n bigint, v string"))
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([("a", 2, "Y2")], "k string, n bigint, v string"),
+            keys=["k", "n"],
+        )
+        got = {(r.k, r.n): r.v for r in t.read(spark).collect()}
+        assert got == {("a", 1): "x", ("a", 2): "Y2"}
