@@ -358,6 +358,27 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile / median aggregates per group."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("l_extendedprice"), 4).alias("lo"),
+        F.round(F.max("l_extendedprice"), 4).alias("hi"),
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + multi-distinct aggregates per group."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate with grouping indicators."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -489,6 +510,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "tpch_q3ish": q_tpch_q3ish,
     "tpch_q5ish": q_tpch_q5ish,
+    "percentiles": q_percentiles,
+    "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
     "pivot": q_pivot,
     "semi_anti": q_semi_anti,
@@ -810,6 +833,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id
              AND l.value >= r.value AND l.value < r.value + 50.0
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   round(min(l_extendedprice), 4) AS lo,
+                   round(max(l_extendedprice), 4) AS hi
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "distinct_agg": """
+            SELECT l_linestatus,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_linestatus
         """,
         "rollup": """
             SELECT l_returnflag, l_linestatus,
