@@ -358,6 +358,28 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers who ordered in 1997 INTERSECT 1998,
+    and 1997 EXCEPT 1998, labeled and unioned."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    both = y97.intersect(y98).withColumn("setop", F.lit("both"))
+    only97 = y97.exceptAll(y98).withColumn("setop", F.lit("only_1997"))
+    return both.unionByName(only97).select("setop", "o_custkey")
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs via hyperplane LSH + exact
+    verify (rows-only: float hyperplane literals have no SQL twin)."""
+    from swarm_spark.operators.dedup import embedding_dup_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = embs.limit(10).withColumn("vec_id", F.col("vec_id") + 1000000)
+    both = embs.union(dup)
+    return embedding_dup_pairs(both, threshold=0.999).select("id_a", "id_b")
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile / median aggregates per group."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -512,6 +534,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5ish": q_tpch_q5ish,
     "percentiles": q_percentiles,
     "distinct_agg": q_distinct_agg,
+    "set_ops": q_set_ops,
+    "embedding_dups": q_embedding_dups,
     "rollup": q_rollup,
     "pivot": q_pivot,
     "semi_anti": q_semi_anti,
@@ -833,6 +857,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id
              AND l.value >= r.value AND l.value < r.value + 50.0
+        """,
+        "set_ops": """
+            SELECT 'both' AS setop, o_custkey FROM (
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+              INTERSECT
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+            UNION ALL
+            SELECT 'only_1997' AS setop, o_custkey FROM (
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+              EXCEPT
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
         """,
         "percentiles": """
             SELECT l_returnflag,
