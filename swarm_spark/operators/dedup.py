@@ -286,6 +286,7 @@ def jaccard_pairs_inverted(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_doc_ratio: float | None = None,
 ) -> DataFrame:
     """EXACT Jaccard for every pair sharing ≥1 shingle, via an
     inverted-index join: explode shingles → equi-join on shingle →
@@ -301,6 +302,38 @@ def jaccard_pairs_inverted(
         shingles(text_col, k).alias("_sh"),
     ).withColumn("_n", F.size("_sh"))
     ex = base.select("_id", "_n", F.explode("_sh").alias("_s"))
+
+    if max_doc_ratio is not None:
+        # Stop-shingle skew guard (opt-in, corpus scale): a shingle in
+        # >max_doc_ratio of docs creates an O(df^2) pair blowup in the
+        # self-join. Drop such shingles from CANDIDATE GENERATION only;
+        # the verify below recomputes Jaccard on the FULL shingle sets
+        # so surviving pairs keep exact scores. Trade-off (documented):
+        # pairs whose overlap is exclusively stop-shingles are missed.
+        n_docs = base.count()
+        hot = (
+            ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_ratio * n_docs)
+            .select("_s")
+        )
+        ex_gen = ex.join(F.broadcast(hot), "_s", "left_anti")
+        a, b = ex_gen.alias("a"), ex_gen.alias("b")
+        cand = (
+            a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh = base.select("_id", "_sh")
+        cand = (
+            cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return cand.select(
+            "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))

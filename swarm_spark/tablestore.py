@@ -226,6 +226,28 @@ class IcepackTable:
         self._commit(snap)
         return snap
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Snapshot GC (expire_snapshots + vacuum): delete snapshot
+        metadata older than the newest `keep_last` and remove data
+        dirs no longer referenced by any kept snapshot. Time travel is
+        only possible to kept snapshots afterwards."""
+        import shutil
+
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "data_dirs_removed": 0}
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+        kept_dirs = {d for s in keep for d in s["data_dirs"]}
+        removed = 0
+        for s in drop:
+            for d in s["data_dirs"]:
+                if d not in kept_dirs and os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed += 1
+            os.remove(self._snap_path(s["snapshot_id"]))
+        return {"expired": len(drop), "data_dirs_removed": removed}
+
     def merge_upsert(self, spark: SparkSession, df: DataFrame, keys: list[str]) -> dict:
         """MERGE INTO analogue (upsert by key): incoming rows replace
         same-key rows, others are kept. No Delta/Iceberg jars in this

@@ -160,3 +160,66 @@ class TestMergeUpsert:
         )
         got = {(r.k, r.n): r.v for r in t.read(spark).collect()}
         assert got == {("a", 1): "x", ("a", 2): "Y2"}
+
+
+class TestExpireSnapshots:
+    def test_expire_keeps_current_removes_orphans(self, spark, tmp_path):
+        import os
+
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        for i in range(3):
+            t.append(spark.createDataFrame([(i,)], "id bigint"))
+        t.compact(spark, target_files=1)  # snapshot 4 references ONE new dir
+        res = t.expire_snapshots(keep_last=1)
+        assert res["expired"] == 3 and res["data_dirs_removed"] == 3
+        # current contents intact; old snapshots gone
+        assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2]
+        assert len(t.snapshots()) == 1
+        # only the compacted data dir remains on disk
+        dirs = [d for d in os.listdir(t.data) if os.path.isdir(os.path.join(t.data, d))]
+        assert len(dirs) == 1
+
+    def test_expire_respects_shared_dirs(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        t.append(spark.createDataFrame([(1,)], "id bigint"))
+        t.append(spark.createDataFrame([(2,)], "id bigint"))  # snap2 refs dir1+dir2
+        res = t.expire_snapshots(keep_last=1)
+        assert res["expired"] == 1 and res["data_dirs_removed"] == 0  # dir1 shared
+        assert t.read(spark).count() == 2
+
+
+class TestStopShingleGuard:
+    def test_guard_preserves_exact_scores(self, spark):
+        from swarm_spark.operators.dedup import jaccard_pairs_inverted
+
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        b = "alpha beta gamma delta epsilon zeta eta iota"
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+        plain = {(r.id_a, r.id_b): r.jaccard
+                 for r in jaccard_pairs_inverted(df, threshold=0.3).collect()}
+        guarded = {(r.id_a, r.id_b): r.jaccard
+                   for r in jaccard_pairs_inverted(df, threshold=0.3,
+                                                   max_doc_ratio=0.9).collect()}
+        # shared shingles here appear in 100% of docs (2/2) → dropped
+        # from candidate gen, so the guard misses this pair BY DESIGN
+        assert plain and not guarded
+
+        # with a hot stop-shingle plus distinctive overlap, the pair
+        # survives and keeps the EXACT full-set score
+        docs = [(i, f"common filler words here doc{i} unique{i} tail{i}") for i in range(8)]
+        docs += [(100, "xray yankee zulu qq one two three common filler words here"),
+                 (101, "xray yankee zulu qq one two nine common filler words here")]
+        df2 = spark.createDataFrame(docs, "doc_id bigint, text string")
+        plain2 = {(r.id_a, r.id_b): r.jaccard
+                  for r in jaccard_pairs_inverted(df2, threshold=0.35).collect()}
+        guarded2 = {(r.id_a, r.id_b): r.jaccard
+                    for r in jaccard_pairs_inverted(df2, threshold=0.35,
+                                                    max_doc_ratio=0.5).collect()}
+        assert (100, 101) in guarded2
+        assert guarded2[(100, 101)] == plain2[(100, 101)]  # exact score kept
