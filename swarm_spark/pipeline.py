@@ -62,6 +62,11 @@ class PipelineConfig:
     # DF thrash (1M rows: 21 s sequential vs 53 s at pool=8). Raise
     # only on a wide cluster where single writes leave executors idle.
     sink_concurrency: int = 1
+    # routed-DF caching across the per-sink fan-out: 'memory_and_disk'
+    # (default), 'disk_only' (routed ≫ RAM), or 'none' (100TB batches:
+    # re-deriving the narrow parse per sink beats caching the data —
+    # SCALE.md "Memory")
+    persist_routed: str = "memory_and_disk"
     audit_table: str = "_audit"
     agg_table: str = "_agg_hourly"
     manifest_dir: str = field(default="")
@@ -207,7 +212,16 @@ class IngestPipeline:
             transcripts = transcripts.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
             routed = self.routed(transcripts, ingest_id=request_id)
-            routed = routed.persist()
+            from pyspark import StorageLevel
+
+            levels = {
+                "memory_and_disk": StorageLevel.MEMORY_AND_DISK,
+                "disk_only": StorageLevel.DISK_ONLY,
+            }
+            if cfg.persist_routed in levels:
+                routed = routed.persist(levels[cfg.persist_routed])
+            elif cfg.persist_routed != "none":
+                raise ValueError(f"persist_routed={cfg.persist_routed!r}")
             # Materialize the cache ONCE before the per-sink fan-out;
             # otherwise N writer threads race to compute the same plan
             # N times before the cache is populated.
@@ -266,7 +280,8 @@ class IngestPipeline:
                 audit, partition_unit="month", ts_col="started_at"
             )
 
-            routed.unpersist()
+            if cfg.persist_routed != "none":
+                routed.unpersist()
             self.manifest.update(batch_id, STATE_COMPLETED, snapshot_ids)
             return LoadResult(
                 batch_id, request_id, False, per_sink_rows, snapshot_ids,
