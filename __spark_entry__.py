@@ -358,6 +358,29 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation reassembly: ordered concatenation of turn
+    texts (the transcript-native groupwise sort-aggregate)."""
+    t = transcripts_from_events(spark, sf_dir)
+    ordered = F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(F.concat_ws("\n", F.transform(ordered, lambda s: s["text"])))
+        .alias("conv_text_md5"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: inverted-index Jaccard pairs →
+    iterative connected components (hash-to-min) → (node, component)."""
+    from swarm_spark.operators.components import connected_components
+    from swarm_spark.operators.dedup import jaccard_pairs_inverted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs_inverted(docs, k=3, threshold=0.2)
+    return connected_components(pairs).select("node", "component")
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: customers who ordered in 1997 INTERSECT 1998,
     and 1997 EXCEPT 1998, labeled and unioned."""
@@ -536,6 +559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "set_ops": q_set_ops,
     "embedding_dups": q_embedding_dups,
+    "conv_reassembly": q_conv_reassembly,
+    "dedup_clusters": q_dedup_clusters,
     "rollup": q_rollup,
     "pivot": q_pivot,
     "semi_anti": q_semi_anti,
@@ -857,6 +882,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id
              AND l.value >= r.value AND l.value < r.value + 50.0
+        """,
+        "conv_reassembly": f"""
+            WITH transcripts AS ({_T})
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS conv_text_md5
+            FROM transcripts GROUP BY conv_id
+        """,
+        "dedup_clusters": rf"""
+            WITH {_SHINGLES.strip()},
+            ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+            p0 AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM p0
+              WHERE round(inter / (na + nb - inter), 4) >= 0.2),
+            und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            rec AS (
+              WITH RECURSIVE reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+              SELECT * FROM reach)
+            SELECT a AS node, least(a, min(b)) AS component
+            FROM rec GROUP BY a
         """,
         "set_ops": """
             SELECT 'both' AS setop, o_custkey FROM (

@@ -1,0 +1,87 @@
+"""Connected components over near-duplicate pairs — the transitive
+closure step that turns pairwise matches into dedup CLUSTERS.
+
+Greedy pair-removal (dedup_minhash) under-merges chains (a~b, b~c but
+a!~c leaves two clusters). The standard distributed fix is iterative
+min-label propagation; this implements the hash-to-min scheme
+(Rastogi et al., "Finding Connected Components in Map-Reduce", ICDE'13
+family): each round, every node hooks its whole neighborhood to the
+minimum of that neighborhood, shrinking every component toward a star
+rooted at its min id. One groupBy + one join shuffle per round;
+converges in O(log n) rounds (near-dup clusters are tiny, so 2-4
+rounds in practice). DataFrame-only: no RDDs, no driver-side graph.
+Lineage is truncated per round with localCheckpoint so the plan
+doesn't grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    # neighborhood = edges in both directions + self
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = both.groupBy("src").agg(F.min("dst").alias("m"))
+    mins = mins.withColumn("m", F.least("src", "m"))
+    # hook every neighbor (and the node itself) to the neighborhood min
+    hooked = (
+        both.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return _canonical(hooked)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, component) with component = min node id in the cluster.
+    Input: undirected edge list (near-dup pairs). Isolated nodes are
+    not emitted (callers left-join and coalesce to self)."""
+    edges = _canonical(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = _star_round(edges).localCheckpoint()
+        # fixpoint when the edge set stops changing
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    # after convergence the edge set is a star per component in
+    # canonical (min, node) order: src IS the component root
+    comp = edges.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
+    roots = comp.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (the min id) per connected near-dup
+    cluster; singletons pass through."""
+    comp = connected_components(pairs)
+    joined = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    return joined.filter(F.col(id_col) == F.col("component")).drop("component")
