@@ -69,6 +69,10 @@ class PipelineConfig:
     persist_routed: str = "memory_and_disk"
     audit_table: str = "_audit"
     agg_table: str = "_agg_hourly"
+    # with on_unmatched='keep', rows no event rule matched are appended
+    # here instead of being dropped silently — the operational middle
+    # ground between swarm's event-level error and record-level skip
+    dead_letter_table: str = ""
     manifest_dir: str = field(default="")
 
     def __post_init__(self):
@@ -155,7 +159,10 @@ class IngestPipeline:
         from .rules import rules_to_df
 
         dim = rules_to_df(self.spark, cfg.schema_rules)
-        df = df.join(F.broadcast(dim), "schema_name", "inner")
+        # 'keep' routes unmatched rows through with null sink_table so
+        # run() can divert them to the dead-letter table
+        join_how = "left" if cfg.on_unmatched == "keep" else "inner"
+        df = df.join(F.broadcast(dim), "schema_name", join_how)
 
         payload = F.struct(*[F.col(c) for c in PAYLOAD_FIELDS if c in df.columns])
         # id: per-rule id_field, else content hash (types.go:27-34)
@@ -226,12 +233,31 @@ class IngestPipeline:
             # otherwise N writer threads race to compute the same plan
             # N times before the cache is populated.
             routed_rows_total = routed.count()
+            if cfg.on_unmatched == "keep":
+                # unmatched rows have null sink_table; only matched rows
+                # are expected in the per-sink totals (dead-letter rows
+                # are accounted separately)
+                routed_rows_total = routed.filter(
+                    F.col("sink_table").isNotNull()
+                ).count()
             input_rows = int(obs_in.get["n"])
 
             sinks = sorted({r.sink_table for r in cfg.schema_rules})
             rule_by_sink = {r.sink_table: r for r in cfg.schema_rules}
             per_sink_rows: dict[str, int] = {}
             snapshot_ids: dict[str, int] = {}
+
+            if cfg.dead_letter_table and cfg.on_unmatched == "keep":
+                dl = routed.filter(F.col("sink_table").isNull()).select(
+                    "id", "ingest_id", "timestamp", "ingested_at",
+                    *[c for c in PAYLOAD_FIELDS if c in routed.columns],
+                )
+                if not dl.isEmpty():
+                    snap = self.catalog.table(cfg.dead_letter_table).append(
+                        dl, ts_col="timestamp"
+                    )
+                    per_sink_rows[cfg.dead_letter_table] = snap["added_rows"]
+                    snapshot_ids[cfg.dead_letter_table] = snap["snapshot_id"]
 
             def write_sink(sink: str):
                 r = rule_by_sink[sink]
@@ -258,7 +284,9 @@ class IngestPipeline:
             )
             snapshot_ids[cfg.agg_table] = agg_snap["snapshot_id"]
 
-            routed_rows = sum(per_sink_rows.values())
+            routed_rows = sum(
+                n for s, n in per_sink_rows.items() if s != cfg.dead_letter_table
+            )
             assert routed_rows == routed_rows_total, (
                 f"append-count mismatch: {routed_rows} written vs "
                 f"{routed_rows_total} routed"  # X6, bq/client.go:240-248

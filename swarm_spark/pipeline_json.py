@@ -36,15 +36,40 @@ from .tablestore import IcepackCatalog
 @dataclass(frozen=True)
 class JsonSchemaRule:
     """Per-schema transform config for open JSON payloads — the Log
-    construction contract of model/policy.go:64-89."""
+    construction contract of model/policy.go:64-89.
+
+    ts_format mirrors the time handling seen in the reference's rules:
+      'unix'     float/int seconds (load.go:236-239)
+      'unix_ms'  milliseconds (README.md:55 divides by 1000 in Rego)
+      'rfc3339'  ISO-8601 strings (time.parse_rfc3339_ns,
+                 pkg/usecase/testdata/policy/schema.rego:8)
+
+    record_predicate optionally gates individual records AFTER the
+    event-level match — the per-record conditional routing Rego schema
+    rules can express (a non-matching record is skipped with the same
+    warn+skip semantics as a 0-match schema rule, load.go:216-219).
+    It is a (json_path, op, value) triple evaluated on the record.
+    """
 
     schema_name: str
     sink_table: str
     partition_unit: str = ""
-    ts_path: str = "$.timestamp"   # unix float seconds (load.go:236-239)
+    ts_path: str = "$.timestamp"
+    ts_format: str = "unix"        # unix | unix_ms | rfc3339
     id_path: str = ""              # '' → content hash (types.go:27-34)
     records_field: str = "Records"
     drop_paths: tuple = field(default_factory=tuple)
+    record_predicate: tuple | None = None  # (json_path, op, value)
+
+    def __post_init__(self):
+        if self.ts_format not in ("unix", "unix_ms", "rfc3339"):
+            raise ValueError(f"invalid ts_format {self.ts_format!r}")
+        if self.record_predicate is not None:
+            path, op, _ = self.record_predicate
+            if op not in ("eq", "startswith", "endswith", "contains", "rlike"):
+                raise ValueError(f"invalid record_predicate op {op!r}")
+            if not path.startswith("$."):
+                raise ValueError("record_predicate path must start with '$.'")
 
 
 def make_drop_udf(paths: tuple):
@@ -104,8 +129,25 @@ class JsonIngest:
         for schema_name, r in self.rules.items():
             part = routed.filter(F.col("schema_name") == schema_name)
             recs = explode_records(part, records_field=r.records_field)
+            if r.record_predicate is not None:
+                path, op, value = r.record_predicate
+                fieldcol = F.get_json_object(F.col("record"), path)
+                pred = {
+                    "eq": fieldcol == F.lit(value),
+                    "startswith": fieldcol.startswith(value),
+                    "endswith": fieldcol.endswith(value),
+                    "contains": fieldcol.contains(value),
+                    "rlike": fieldcol.rlike(value),
+                }[op]
+                recs = recs.filter(pred)  # 0-match → skip (load.go:216-219)
             data = nil_strip_json_udf(F.col("record"))
-            ts_raw = F.get_json_object(F.col("record"), r.ts_path).cast("double")
+            ts_str = F.get_json_object(F.col("record"), r.ts_path)
+            if r.ts_format == "unix":
+                ts_raw = ts_str.cast("double")
+            elif r.ts_format == "unix_ms":
+                ts_raw = ts_str.cast("double") / 1000.0  # README.md:55
+            else:  # rfc3339 (time.parse_rfc3339_ns analogue)
+                ts_raw = F.unix_micros(F.to_timestamp(ts_str)) / 1_000_000.0
             if r.drop_paths:
                 data = make_drop_udf(tuple(r.drop_paths))(data)
             rec = (

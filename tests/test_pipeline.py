@@ -168,3 +168,25 @@ def test_unmatched_error_mode(spark, pipeline, transcripts):
     only_err = [EventRule("e", "error_code", "startswith", "ERR-", "error_events")]
     with pytest.raises(Exception, match="ErrNoPolicyResult"):
         route(pipeline.parsed(transcripts), only_err, on_unmatched="error").count()
+
+
+def test_dead_letter_sink(spark, transcripts, tmp_path):
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import default_tool_dim
+    from swarm_spark.rules import EventRule, SchemaRule
+
+    cfg = PipelineConfig(
+        event_rules=[EventRule("e", "role", "eq", "assistant", "a_log")],
+        schema_rules=[SchemaRule("a_log", sink_table="sink_a")],
+        warehouse=str(tmp_path / "wh"),
+        tool_dim=default_tool_dim(spark),
+        on_unmatched="keep",
+        dead_letter_table="_dead",
+    )
+    pipe = IngestPipeline(spark, cfg)
+    res = pipe.run(transcripts, batch_id="b")
+    n_assistant = transcripts.filter("role = 'assistant'").count()
+    n_total = transcripts.count()
+    assert res.per_sink_rows["sink_a"] == n_assistant
+    assert res.per_sink_rows["_dead"] == n_total - n_assistant
+    assert pipe.catalog.table("_dead").read(spark).count() == n_total - n_assistant

@@ -118,3 +118,55 @@ class TestJsonIngest:
         r1 = ing.run(str(tmp_path / "one.log"), batch_id="b1")
         r2 = ing.run(str(tmp_path / "one.log"), batch_id="b1")
         assert r2["skipped"] and r2["snapshot_ids"] == r1["snapshot_ids"]
+
+
+class TestTsFormats:
+    def test_unix_ms(self, spark, tmp_path):
+        rules = [JsonSchemaRule("access_log", sink_table="logs",
+                                ts_path="$.t", ts_format="unix_ms", id_path="$.log_id")]
+        _write(tmp_path / "a.log", json.dumps({"log_id": "x", "t": 1500000000250}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, rules)
+        ing.run(str(tmp_path / "a.log"), batch_id="b")
+        (row,) = ing.catalog.table("logs").read(spark).collect()
+        assert row.timestamp.year == 2017 and row.timestamp.microsecond == 250000
+
+    def test_rfc3339(self, spark, tmp_path):
+        rules = [JsonSchemaRule("access_log", sink_table="logs",
+                                ts_path="$.t", ts_format="rfc3339", id_path="$.log_id")]
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "x", "t": "2026-03-01T12:30:45.5Z"}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, rules)
+        ing.run(str(tmp_path / "a.log"), batch_id="b")
+        (row,) = ing.catalog.table("logs").read(spark).collect()
+        assert (row.timestamp.year, row.timestamp.minute) == (2026, 30)
+        assert row.timestamp.microsecond == 500000
+
+    def test_invalid_format_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            JsonSchemaRule("s", sink_table="t", ts_format="epoch")
+
+
+class TestRecordPredicate:
+    def test_per_record_gating(self, spark, tmp_path):
+        rules = [JsonSchemaRule(
+            "access_log", sink_table="logs", ts_path="$.event_time",
+            id_path="$.log_id",
+            record_predicate=("$.action", "eq", "get"),
+        )]
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "k1", "event_time": 1.0, "action": "get"}) + "\n"
+               + json.dumps({"log_id": "k2", "event_time": 2.0, "action": "put"}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, rules)
+        res = ing.run(str(tmp_path / "a.log"), batch_id="b")
+        assert res["per_sink_rows"] == {"logs": 1}
+        (row,) = ing.catalog.table("logs").read(spark).collect()
+        assert row.id == "k1"
+
+    def test_invalid_predicate_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            JsonSchemaRule("s", sink_table="t",
+                           record_predicate=("action", "eq", "x"))
