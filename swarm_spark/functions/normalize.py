@@ -34,31 +34,49 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def strip_nils(value):
-    """Python twin of swarm's cloneWithoutNil (utils_test.go semantics).
+def _clone(value):
+    """(value, ok) recursion mirroring swarm's clone (utils.go:19-135,
+    goldens in utils_test.go:11-85). ok=False means the parent drops
+    this value entirely:
 
-    - dict: drop keys with None values; recurse; drop keys whose value
-      is an empty list; keep keys whose dict became empty post-strip.
-    - list: drop None elements; recurse into dict/list elements.
+    - None                       → ok=False
+    - dict: originally empty     → ok=False; otherwise recurse, drop
+      not-ok entries; a dict that STRIPS to empty stays (ok=True)
+    - list: recurse, drop not-ok elements; empty or EMPTIED list
+      → ok=False (so empty containers inside arrays drop too)
+    - scalars                    → ok=True
     """
+    if value is None:
+        return None, False
     if isinstance(value, dict):
+        if not value:
+            return value, False
         out = {}
         for k, v in value.items():
             if v is None:
                 continue
-            if isinstance(v, (dict, list)):
-                stripped = strip_nils(v)
-                if isinstance(stripped, list) and len(stripped) == 0:
-                    continue  # empty (or emptied) arrays are dropped
-                if isinstance(stripped, dict) and len(v) == 0:
-                    continue  # originally-empty objects are dropped
-                out[k] = stripped
-            else:
-                out[k] = v
-        return out
+            c, ok = _clone(v)
+            if ok:
+                out[k] = c
+        return out, True
     if isinstance(value, list):
-        return [strip_nils(v) for v in value if v is not None]
-    return value
+        arr = []
+        for v in value:
+            c, ok = _clone(v)
+            if ok:
+                arr.append(c)
+        if not arr:
+            return value, False
+        return arr, True
+    return value, True
+
+
+def strip_nils(value):
+    """Python twin of swarm's cloneWithoutNil (utils.go:14-17): the
+    top-level value is returned unchanged when the recursion says
+    'drop' (Go ignores the ok flag at the root)."""
+    stripped, ok = _clone(value)
+    return stripped if ok else value
 
 
 def canonical_json(value) -> str:

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .functions.extract import extract_columns
 from .functions.normalize import content_hash_id
-from .manifest import STATE_COMPLETED, STATE_FAILED, ManifestStore
+from .manifest import STATE_COMPLETED, STATE_FAILED, STATE_RUNNING, ManifestStore
 from .rules import EventRule, SchemaRule, route
 from .tablestore import IcepackCatalog
 
@@ -206,6 +206,36 @@ class IngestPipeline:
         if not acquired:
             return LoadResult(batch_id, request_id, True, {}, state.snapshot_ids or {})
 
+        # Exactly-once on PARTIAL failure: per-sink snapshot ids are
+        # recorded in the manifest AS THEY COMMIT; on failure, the
+        # except path rolls each back (newest first). If a rollback is
+        # impossible (another batch committed on top) the id stays in
+        # the manifest and the retry SKIPS that sink instead of
+        # re-appending — either way a retry reconciles to exactly one
+        # copy of the batch per sink (≙ State.Acquired + pending-stream
+        # abort, state.go:19-31 / bq client.go:240-263).
+        prior = dict(state.snapshot_ids or {})  # commits from a failed attempt
+        committed = dict(prior)
+        attempt: list[tuple[str, int]] = []  # this attempt's commits, in order
+        import threading
+
+        book_lock = threading.Lock()  # bookkeeping only; writes stay parallel
+
+        def commit_append(table_name: str, df: DataFrame, **kw) -> dict:
+            t = self.catalog.table(table_name)
+            with book_lock:
+                if table_name in prior:
+                    for s in t.snapshots():
+                        if s["snapshot_id"] == prior[table_name]:
+                            return s  # already durably committed by the failed attempt
+                    del prior[table_name]  # rolled back / expired: re-append
+            snap = t.append(df, **kw)
+            with book_lock:
+                committed[table_name] = snap["snapshot_id"]
+                attempt.append((table_name, snap["snapshot_id"]))
+                self.manifest.update(batch_id, STATE_RUNNING, committed)
+            return snap
+
         t0 = time.time()
         started_at = F.current_timestamp()
         try:
@@ -253,9 +283,7 @@ class IngestPipeline:
                     *[c for c in PAYLOAD_FIELDS if c in routed.columns],
                 )
                 if not dl.isEmpty():
-                    snap = self.catalog.table(cfg.dead_letter_table).append(
-                        dl, ts_col="timestamp"
-                    )
+                    snap = commit_append(cfg.dead_letter_table, dl, ts_col="timestamp")
                     per_sink_rows[cfg.dead_letter_table] = snap["added_rows"]
                     snapshot_ids[cfg.dead_letter_table] = snap["snapshot_id"]
 
@@ -266,8 +294,8 @@ class IngestPipeline:
                 out = routed.filter(F.col("sink_table") == sink).select(
                     "id", "ingest_id", "timestamp", "ingested_at", *keep
                 )
-                snap = self.catalog.table(sink).append(
-                    out, partition_unit=r.partition_unit, ts_col="timestamp"
+                snap = commit_append(
+                    sink, out, partition_unit=r.partition_unit, ts_col="timestamp"
                 )
                 return sink, snap
 
@@ -279,18 +307,23 @@ class IngestPipeline:
                     snapshot_ids[sink] = snap["snapshot_id"]
 
             agg = self.aggregate(routed).withColumn("batch_id", F.lit(batch_id))
-            agg_snap = self.catalog.table(cfg.agg_table).append(
-                agg.withColumn("timestamp", F.col("hour")), ts_col="timestamp"
+            agg_snap = commit_append(
+                cfg.agg_table, agg.withColumn("timestamp", F.col("hour")),
+                ts_col="timestamp",
             )
             snapshot_ids[cfg.agg_table] = agg_snap["snapshot_id"]
 
             routed_rows = sum(
                 n for s, n in per_sink_rows.items() if s != cfg.dead_letter_table
             )
-            assert routed_rows == routed_rows_total, (
-                f"append-count mismatch: {routed_rows} written vs "
-                f"{routed_rows_total} routed"  # X6, bq/client.go:240-248
-            )
+            # hard check, NOT assert: must survive python -O
+            # (X6, bq/client.go:240-248); a mismatch aborts the batch
+            # and the except path rolls every sink commit back
+            if routed_rows != routed_rows_total:
+                raise RuntimeError(
+                    f"append-count mismatch: {routed_rows} written vs "
+                    f"{routed_rows_total} routed"
+                )
             elapsed = time.time() - t0
 
             audit = self.spark.createDataFrame(
@@ -304,17 +337,23 @@ class IngestPipeline:
                 "ingests array<struct<sink:string,log_count:bigint,snapshot_id:bigint,success:boolean>>",
             ).withColumn("started_at", started_at)
             # audit table month-partitioned on started_at (bigquery.go:77-83)
-            self.catalog.table(cfg.audit_table).append(
-                audit, partition_unit="month", ts_col="started_at"
-            )
+            commit_append(cfg.audit_table, audit,
+                          partition_unit="month", ts_col="started_at")
 
             if cfg.persist_routed != "none":
                 routed.unpersist()
-            self.manifest.update(batch_id, STATE_COMPLETED, snapshot_ids)
+            self.manifest.update(batch_id, STATE_COMPLETED, committed)
             return LoadResult(
-                batch_id, request_id, False, per_sink_rows, snapshot_ids,
+                batch_id, request_id, False, per_sink_rows, dict(committed),
                 input_rows=input_rows, routed_rows=routed_rows, elapsed_sec=elapsed,
             )
         except Exception:
-            self.manifest.update(batch_id, STATE_FAILED)
+            # roll back THIS attempt's commits, newest first; whatever
+            # cannot be rolled back (another batch committed on top)
+            # stays recorded so the retry skips it instead of
+            # double-appending
+            for table_name, sid in reversed(attempt):
+                if self.catalog.table(table_name).rollback(sid):
+                    committed.pop(table_name, None)
+            self.manifest.update(batch_id, STATE_FAILED, committed)
             raise

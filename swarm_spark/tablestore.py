@@ -109,7 +109,7 @@ class IcepackTable:
     def snapshots(self) -> list[dict]:
         out = []
         for fn in sorted(os.listdir(self.meta)):
-            if fn.startswith("snap-"):
+            if fn.startswith("snap-") and fn.endswith(".json"):
                 with open(os.path.join(self.meta, fn)) as fh:
                     out.append(json.load(fh))
         return out
@@ -125,35 +125,98 @@ class IcepackTable:
 
     # -- write -------------------------------------------------------
     def _commit(self, snap: dict) -> int:
-        """Atomic pointer swap with optimistic retry (ETag analogue)."""
-        for _ in range(50):
+        """Atomic pointer swap with optimistic retry (ETag analogue).
+
+        The snapshot FILE itself is claimed exclusively with os.link
+        (EEXIST if a concurrent writer already claimed the same sid),
+        so two writers that both read the same CURRENT can never
+        silently clobber each other's snap-<sid>.json — the loser
+        loops back into the rebase path instead. CURRENT then advances
+        via os.replace (atomic on POSIX). A claim whose owner died
+        before advancing CURRENT is adopted after a grace period so an
+        orphaned snap file cannot wedge the table forever.
+        """
+        base_dirs = snap.pop("_base_dirs", None) or []
+        claim_fails = 0
+        for _ in range(200):
             cur = self._current_id()
-            expected = snap["parent"]
-            if cur != expected:
+            if cur != snap["parent"]:
                 # another writer advanced the table; rebase lineage
-                snap["parent"] = cur
                 parent_snap = self.current_snapshot()
+                snap["parent"] = cur
                 if parent_snap is not None and snap["op"] == "append":
                     prev_dirs = parent_snap["data_dirs"]
-                    new_only = [d for d in snap["data_dirs"] if d not in snap.get("_base_dirs", [])]
+                    new_only = [d for d in snap["data_dirs"] if d not in base_dirs]
                     snap["data_dirs"] = prev_dirs + new_only
+                    # re-anchor the base so a SECOND rebase doesn't
+                    # re-add the first rebase's dirs (double-count),
+                    # and recompute the cumulative row count against
+                    # the new parent
+                    base_dirs = list(prev_dirs)
+                    snap["row_count"] = parent_snap.get("row_count", 0) + snap.get("added_rows", 0)
                     old = T.StructType.fromJson(json.loads(parent_snap["schema"]))
                     new = T.StructType.fromJson(json.loads(snap["schema"]))
                     snap["schema"] = json.dumps(merge_schemas(old, new).jsonValue())
                 continue
             sid = (cur or 0) + 1
             snap["snapshot_id"] = sid
-            snap.pop("_base_dirs", None)
             tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
                 json.dump(snap, fh)
-            os.replace(tmp, self._snap_path(sid))
+            try:
+                os.link(tmp, self._snap_path(sid))  # exclusive claim
+                os.remove(tmp)
+            except FileExistsError:
+                claim_fails += 1
+                if claim_fails >= 20 and self._current_id() == cur:
+                    # orphaned claim: its writer died between claiming
+                    # the snap file and advancing CURRENT; adopt it
+                    os.replace(tmp, self._snap_path(sid))
+                else:
+                    os.remove(tmp)
+                    time.sleep(0.005)
+                    continue
             tmp2 = os.path.join(self.meta, f"CURRENT.tmp-{uuid.uuid4().hex}")
             with open(tmp2, "w") as fh:
                 fh.write(str(sid))
             os.replace(tmp2, os.path.join(self.meta, "CURRENT"))
             return sid
         raise RuntimeError(f"commit contention on table {self.name}")
+
+    def rollback(self, snapshot_id: int) -> bool:
+        """Undo a committed snapshot IF it is still CURRENT: point
+        CURRENT back at its parent, delete the snapshot file, and
+        remove data dirs it introduced (present in it but not in the
+        parent). Returns False without touching anything when other
+        commits landed on top — the caller then falls back to
+        manifest-based resume-skip. Restores the all-or-nothing
+        contract of a multi-sink batch (≙ aborting a pending BigQuery
+        write stream instead of finalizing it,
+        /root/reference/pkg/infra/bq/client.go:240-263)."""
+        import shutil
+
+        cur = self._current_id()
+        if cur != snapshot_id:
+            return False
+        with open(self._snap_path(snapshot_id)) as fh:
+            snap = json.load(fh)
+        parent = snap["parent"]
+        cur_file = os.path.join(self.meta, "CURRENT")
+        if parent is None:
+            os.remove(cur_file)
+            parent_dirs: set = set()
+        else:
+            tmp = cur_file + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(str(parent))
+            os.replace(tmp, cur_file)
+            with open(self._snap_path(parent)) as fh:
+                parent_dirs = set(json.load(fh)["data_dirs"])
+        os.remove(self._snap_path(snapshot_id))
+        for d in snap["data_dirs"]:
+            if d not in parent_dirs and os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+        return True
 
     def _write_data(self, df: DataFrame, partition_unit: str, ts_col: str) -> tuple[str, int]:
         ddir = os.path.join(self.data, f"s-{uuid.uuid4().hex}")
@@ -328,16 +391,25 @@ class IcepackTable:
         if snap is None:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
-        # Each snapshot's data dir is its own (possibly hive-partitioned)
-        # parquet root; union them by name so schema evolution across
-        # snapshots resolves (missing columns → null).
-        parts = [
-            spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
-            for d in snap["data_dirs"]
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p, allowMissingColumns=True)
+        # ONE multi-path parquet relation over all data dirs — plan
+        # depth stays flat no matter how many snapshots the table has
+        # (manifest-file planning: the snapshot's cumulative dir list
+        # IS the manifest). Each input path acts as its own base path,
+        # so per-dir hive `_p` partitions are still discovered and
+        # prunable; mergeSchema resolves evolution across dirs
+        # (missing columns → null). Fallback to per-dir unionByName
+        # only for mixed partitioned/unpartitioned dir sets, which
+        # Spark's partition discovery rejects.
+        try:
+            df = spark.read.option("mergeSchema", "true").parquet(*snap["data_dirs"])
+        except Exception:
+            parts = [
+                spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
+                for d in snap["data_dirs"]
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
         unit = snap.get("partition_unit")
         if unit and ts_between:
             fmt_py = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d",

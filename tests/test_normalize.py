@@ -46,6 +46,36 @@ class TestStripNils:
         assert strip_nils(42) == 42
         assert strip_nils("x") == "x"
 
+    # -- Go slice-branch parity (utils.go:96-111 'slice with empty'
+    # family): elements that ARE or BECOME empty containers drop from
+    # arrays, and an array emptied that way drops from its parent --
+    def test_empty_dict_element_dropped_from_array(self):
+        assert strip_nils({"a": [{}, "x"]}) == {"a": ["x"]}
+
+    def test_empty_list_element_dropped_from_array(self):
+        assert strip_nils({"a": [[], "x"]}) == {"a": ["x"]}
+
+    def test_emptied_list_element_dropped_from_array(self):
+        # [None] strips to [] → ok=false → dropped from the outer array
+        assert strip_nils({"a": [[None], "x"]}) == {"a": ["x"]}
+
+    def test_array_of_only_empty_containers_dropped(self):
+        assert strip_nils({"a": [{}, [], [None]], "b": 1}) == {"b": 1}
+
+    def test_nonempty_dict_element_that_strips_to_empty_kept(self):
+        # mirrors the map branch: originally-NON-empty maps survive
+        # even when stripping empties them (clone returns ok=true)
+        assert strip_nils({"a": [{"x": None}, "y"]}) == {"a": [{}, "y"]}
+
+    def test_top_level_slice(self):
+        # utils_test.go 'slice with empty': [nil,"blue"] → ["blue"]
+        assert strip_nils([None, "blue"]) == ["blue"]
+
+    def test_top_level_empty_stays(self):
+        # cloneWithoutNil ignores ok at the root (utils.go:14-17)
+        assert strip_nils({}) == {}
+        assert strip_nils([]) == []
+
 
 class TestCanonicalJson:
     def test_sorted_keys_compact(self):

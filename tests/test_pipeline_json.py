@@ -170,3 +170,117 @@ class TestRecordPredicate:
         with _pytest.raises(ValueError):
             JsonSchemaRule("s", sink_table="t",
                            record_predicate=("action", "eq", "x"))
+
+
+class TestMultiSinkFanout:
+    """Record-level 1→N fan-out: Rego schema rules are SET-valued per
+    record (load.go:210-224) — one record matching two rules lands in
+    BOTH sinks."""
+
+    def test_record_lands_in_two_sinks(self, spark, tmp_path):
+        rules = [
+            JsonSchemaRule("access_log", sink_table="all_logs",
+                           ts_path="$.event_time", id_path="$.log_id"),
+            JsonSchemaRule("access_log", sink_table="get_logs",
+                           ts_path="$.event_time", id_path="$.log_id",
+                           record_predicate=("$.action", "eq", "get")),
+        ]
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "k1", "event_time": 1.0, "action": "get"}) + "\n"
+               + json.dumps({"log_id": "k2", "event_time": 2.0, "action": "put"}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, rules)
+        res = ing.run(str(tmp_path / "a.log"), batch_id="b")
+        assert res["per_sink_rows"] == {"all_logs": 2, "get_logs": 1}
+        ids_all = {r.id for r in ing.catalog.table("all_logs").read(spark).collect()}
+        ids_get = {r.id for r in ing.catalog.table("get_logs").read(spark).collect()}
+        assert ids_all == {"k1", "k2"} and ids_get == {"k1"}
+
+    def test_duplicate_sink_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="duplicate sink"):
+            JsonIngest(spark, str(tmp_path / "wh"), EVENTS,
+                       [JsonSchemaRule("access_log", sink_table="s"),
+                        JsonSchemaRule("access_log", sink_table="s")])
+
+
+class TestDropPaths:
+    def test_nested_path_removed(self, spark, tmp_path):
+        rules = [JsonSchemaRule("access_log", sink_table="logs",
+                                ts_path="$.event_time", id_path="$.log_id",
+                                drop_paths=("$.meta.secret",))]
+        _write(tmp_path / "a.log", json.dumps(
+            {"log_id": "x", "event_time": 1.0,
+             "meta": {"secret": "hide-me", "keep": "ok"}}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, rules)
+        ing.run(str(tmp_path / "a.log"), batch_id="b")
+        (row,) = ing.catalog.table("logs").read(spark).collect()
+        d = row.data.asDict()
+        assert d["meta"].asDict() == {"keep": "ok"}
+
+    def test_dollar_key_not_mangled(self, spark, tmp_path):
+        # regression: lstrip("$.") stripped a CHARACTER SET, so a path
+        # like '$.$type' lost its '$' prefix; p[2:] must not
+        rules = [JsonSchemaRule("access_log", sink_table="logs",
+                                ts_path="$.event_time", id_path="$.log_id",
+                                drop_paths=("$.$type",))]
+        _write(tmp_path / "a.log", json.dumps(
+            {"log_id": "x", "event_time": 1.0, "$type": "gone", "type": "kept"}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, rules)
+        ing.run(str(tmp_path / "a.log"), batch_id="b")
+        (row,) = ing.catalog.table("logs").read(spark).collect()
+        d = row.data.asDict()
+        assert "type" in d and d["type"] == "kept"
+        assert "$type" not in d
+
+    def test_invalid_drop_path_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="drop path"):
+            JsonSchemaRule("s", sink_table="t", drop_paths=("meta.secret",))
+
+
+class TestBoundedInference:
+    def test_sample_miss_recovered_by_coverage_check(self, spark, tmp_path):
+        """With sample_rows=1 the first sample misses the second
+        record's keys; the JVM coverage round must pick them up —
+        no silent field loss."""
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "a", "event_time": 1.0, "alpha": 1}) + "\n"
+               + json.dumps({"log_id": "b", "event_time": 2.0, "beta": "x"}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, RULES,
+                         infer_sample_rows=1)
+        ing.run(str(tmp_path / "a.log"), batch_id="b")
+        rows = {r.id: r.data.asDict() for r in
+                ing.catalog.table("logs").read(spark).collect()}
+        assert rows["a"]["alpha"] == 1 and rows["a"]["beta"] is None
+        assert rows["b"]["beta"] == "x" and rows["b"]["alpha"] is None
+
+    def test_live_table_schema_merged(self, spark, tmp_path):
+        """A field seen only in batch 1 survives batch 2's inference
+        (live-schema merge), landing as null."""
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "a", "event_time": 1.0, "only_b1": True}))
+        _write(tmp_path / "b.log",
+               json.dumps({"log_id": "b", "event_time": 2.0}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, RULES)
+        ing.run(str(tmp_path / "a.log"), batch_id="b1")
+        ing.run(str(tmp_path / "b.log"), batch_id="b2")
+        t = ing.catalog.table("logs")
+        fields = {f.name for f in t.schema()["data"].dataType.fields}
+        assert "only_b1" in fields
+        assert t.read(spark).count() == 2
+
+    def test_no_unbounded_rdd_hop_in_module(self):
+        """Done-criterion from VERDICT r1: no .rdd on an unbounded DF
+        anywhere in the JSON path — every hop is behind a limit()."""
+        import inspect
+
+        import swarm_spark.pipeline_json as pj
+
+        import re
+
+        src = inspect.getsource(pj)
+        for ln in src.splitlines():
+            if re.search(r"\.rdd\.", ln):  # code usage, not prose
+                assert "limit(" in ln, f"unbounded rdd hop: {ln.strip()}"

@@ -30,24 +30,28 @@ class TestStripNilsProperties:
     # keeps a dict that became empty BY stripping but drops an
     # originally-empty dict (utils_test.go:11-85), so a second pass
     # drops what the first kept (hypothesis found {'':{'':None}}).
-    # The faithful property is identity on already-clean values:
+    # The faithful property is a differential check against an
+    # independent reimplementation of clone's (value, ok) semantics
+    # (utils.go:19-135):
     @given(json_values)
     @settings(max_examples=300, deadline=None)
-    def test_identity_on_clean_values(self, v):
-        def clean(x):
+    def test_matches_go_clone_model(self, v):
+        def cl(x):
+            if x is None:
+                return None, False
             if isinstance(x, dict):
-                return {k: clean(val) for k, val in x.items()
-                        if val is not None and val != [] and val != {}}
+                if not x:
+                    return x, False
+                return {k: c for k, val in x.items() if val is not None
+                        for c, ok in [cl(val)] if ok}, True
             if isinstance(x, list):
-                return [clean(val) for val in x if val is not None]
-            return x
+                arr = [c for e in x for c, ok in [cl(e)] if ok]
+                return (arr, True) if arr else (x, False)
+            return x, True
 
-        c = clean(v)
-        while clean(c) != c:  # stripping can cascade new empties upward
-            c = clean(c)
-        if c in ([], {}):
-            return
-        assert strip_nils(c) == c
+        c, ok = cl(v)
+        expected = c if ok else v  # root passthrough (utils.go:14-17)
+        assert strip_nils(v) == expected
 
     @given(json_values)
     @settings(max_examples=300, deadline=None)
@@ -59,7 +63,11 @@ class TestStripNilsProperties:
                 return any(val is None or has_null_value(val) for val in x)
             return False
 
-        assert not has_null_value(strip_nils(v))
+        res = strip_nils(v)
+        if res is v:
+            return  # root passthrough: Go returns src unchanged when
+            # the whole value strips away (utils.go:14-17)
+        assert not has_null_value(res)
 
     @given(json_values)
     @settings(max_examples=300, deadline=None)
