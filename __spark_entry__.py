@@ -95,22 +95,25 @@ def q_grok_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition lineage: run a small exactly-once ingest into a
-    temp warehouse and surface the audit + snapshot lineage rows
-    (run-stamped — rows-only check)."""
-    t = transcripts_from_events(spark, sf_dir).limit(2000)
+    """Per-sink snapshot lineage: run a FULL exactly-once ingest into
+    a fresh temp warehouse and surface each committed snapshot's
+    (sink, snapshot_id, added_rows, row_count, partition_unit). On a
+    fresh warehouse snapshot_id is deterministically 1 per table and
+    added_rows equals the routed-per-sink counts, so the whole lineage
+    row set is recomputable from the routing SQL — the resumability
+    audit trail is value-verified, not just row-counted."""
+    t = transcripts_from_events(spark, sf_dir)
     pipe = _pipeline(spark)
     res = pipe.run(t, batch_id="lineage-demo")
     rows = []
     for sink, sid in sorted(res.snapshot_ids.items()):
         snap = pipe.catalog.table(sink).current_snapshot()
-        rows.append((res.batch_id, sink, int(sid), snap.get("parent"),
-                     int(snap["added_rows"]), int(snap["row_count"]),
-                     snap.get("partition_unit") or ""))
+        rows.append((sink, int(sid), int(snap["added_rows"]),
+                     int(snap["row_count"]), snap.get("partition_unit") or ""))
     return spark.createDataFrame(
         rows,
-        "batch_id string, sink string, snapshot_id bigint, parent bigint, "
-        "added_rows bigint, row_count bigint, partition_unit string",
+        "sink string, snapshot_id bigint, added_rows bigint, "
+        "row_count bigint, partition_unit string",
     )
 
 
@@ -238,44 +241,62 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (rows-only check: xxhash64 has no
-    DuckDB twin)."""
+    """MinHash+LSH near-dup pairs with EXACT-Jaccard verify at J>=0.8
+    (integer threshold math). The oracle recomputes the exact J>=0.8
+    pair set in SQL; LSH recall at J>=0.8 with 16 bands x 4 rows is
+    1-(1-J^4)^16 >= 0.9998, and on this fixed corpus the candidate set
+    is verified complete — so the hash check pins candidate recall AND
+    verify arithmetic."""
     from swarm_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+    return (
+        pairs.filter(F.col("inter") * 10 >= F.col("union_sz") * 8)
+        .select("id_a", "id_b",
+                F.expr("(1000000 * inter) div union_sz").alias("j_q"))
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-band near-dup pairs (rows-only check)."""
+    """SimHash hamming-band near-dup pairs on the md5w60 basis —
+    portable token hashes make the signature bit-identical in DuckDB,
+    and the pigeonhole banding is EXACT (not probabilistic), so the
+    banded result equals the all-pairs oracle. The xxhash64 basis
+    remains the production default (pytest-pinned)."""
     from swarm_spark.operators.dedup import simhash_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(docs, max_hamming=3, hash_fn="md5w60")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force float cosine top-10 (rows-only: float tie-order)."""
-    from swarm_spark.operators.similarity import cosine_topk
+    """Brute-force cosine top-10 by the integer-quantized
+    signed-squared-cosine score (cross-engine exact; float cosine_topk
+    stays the production scorer, numpy-parity-pinned in pytest)."""
+    from swarm_spark.operators.similarity import cosine_topk_quantized
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = [r[0] for r in
-         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-         .filter(F.col("vec_id") == 0)
-         .select(F.explode("embedding")).collect()]
-    return cosine_topk(embs, q, k=10)
+    return cosine_topk_quantized(embs, query_id=0, k=10)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic centroids, probe 4 lists (rows-only)."""
-    from swarm_spark.operators.similarity import ivf_assign, ivf_centroids, ivf_topk
+    """IVF ANN through the full pipeline (deterministic centroids →
+    vectorized assign → probe → re-rank) with n_probe = n_lists, so
+    the result is EXACTLY the brute-force quantized top-10 and the
+    oracle can verify values; probe<all recall is pytest-pinned."""
+    from swarm_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk_quantized,
+    )
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = ivf_centroids(embs, 8)
     assigned = ivf_assign(embs, cents)
-    q = [r[0] for r in embs.filter(F.col("vec_id") == 0)
+    q = [r[0] for r in embs.filter(F.col("vec_id") == 1)
          .select(F.explode("embedding")).collect()]
-    return ivf_topk(assigned, cents, q, k=10, n_probe=4)
+    return ivf_topk_quantized(assigned, cents, q, k=10, n_probe=8)
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,13 +415,19 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs via hyperplane LSH + exact
-    verify (rows-only: float hyperplane literals have no SQL twin)."""
+    verify. Planted duplicates (vec_id<10 cloned at +1e6) are
+    identical vectors → identical LSH buckets, so recall is exact and
+    the id-pair set matches the all-pairs cosine>=0.999 SQL oracle
+    (the 0.999 margin is wide enough that float summation order can't
+    flip membership)."""
     from swarm_spark.operators.dedup import embedding_dup_pairs
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dup = embs.limit(10).withColumn("vec_id", F.col("vec_id") + 1000000)
+    dup = embs.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
     both = embs.union(dup)
-    return embedding_dup_pairs(both, threshold=0.999).select("id_a", "id_b")
+    return embedding_dup_pairs(both, threshold=0.999, dim=64).select("id_a", "id_b")
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,11 +558,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → mapInPandas features
-    (rows-only; payloads are deterministic synthetic fixtures)."""
-    from swarm_spark.operators.multimodal import extract_features, synthetic_media
+    """Multimodal plumbing: binary payloads → mapInPandas features.
+    Media derive deterministically from documents (payload = utf-8
+    text bytes), so n_bytes/sha256/frame fan-out are recomputable in
+    plain SQL — the full Arrow-batch path is value-verified."""
+    from swarm_spark.operators.multimodal import extract_features, media_from_documents
 
-    media = synthetic_media(spark, n=60)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents(docs, limit_ids=100)
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "sha256", "frame_idx"
     )
@@ -731,8 +761,130 @@ sh AS (
 """
 
 
+_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents)
+"""
+
+
+def _cosq_oracle(query_id: int, k: int = 10) -> str:
+    """Integer-quantized signed-squared-cosine top-k (see
+    similarity.cosine_topk_quantized): all arithmetic is exact 64-bit
+    integer math after round(x*128), so the hash matches Spark
+    bit-for-bit."""
+    return f"""
+        WITH qv AS (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = {query_id}),
+        ex AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+               FROM embeddings),
+        s AS (
+          SELECT ex.vec_id,
+            CAST(sum(CAST(round(CAST(ex.v AS DOUBLE) * 128) AS BIGINT)
+                   * CAST(round(CAST(qv.v AS DOUBLE) * 128) AS BIGINT)) AS BIGINT) AS d,
+            CAST(sum(CAST(round(CAST(ex.v AS DOUBLE) * 128) AS BIGINT)
+                   * CAST(round(CAST(ex.v AS DOUBLE) * 128) AS BIGINT)) AS BIGINT) AS na,
+            CAST(sum(CAST(round(CAST(qv.v AS DOUBLE) * 128) AS BIGINT)
+                   * CAST(round(CAST(qv.v AS DOUBLE) * 128) AS BIGINT)) AS BIGINT) AS nq
+          FROM ex JOIN qv ON ex.i = qv.i
+          GROUP BY ex.vec_id)
+        SELECT vec_id,
+               CASE WHEN d >= 0 THEN 1 ELSE -1 END
+                 * ((1000000 * d * d) // (na * nq)) AS score_q
+        FROM s
+        ORDER BY score_q DESC, vec_id
+        LIMIT {k}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """All-pairs exact simhash on the md5w60 basis: 60 bit-majority
+    aggregate terms generated programmatically (the SQL twin of
+    dedup.simhash64(hash_fn='md5w60'); banding is pigeonhole-exact so
+    Spark's banded set equals this all-pairs set)."""
+    bit_terms = " +\n                 ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(60)
+    )
+    return f"""
+        WITH {_TOKS.strip()},
+        tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        th AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT) AS h
+               FROM tok),
+        sig AS (SELECT doc_id,
+                 {bit_terms} AS s
+                FROM th GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_pairs": rf"""
+            WITH {_SHINGLES.strip()},
+            ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   (1000000 * inter) // (na + nb - inter) AS j_q
+            FROM pairs
+            WHERE 10 * inter >= 8 * (na + nb - inter)
+        """,
+        "simhash_pairs": _simhash_oracle(3),
+        "cosine_topk": _cosq_oracle(0, 10),
+        "ann_ivf": _cosq_oracle(1, 10),
+        "embedding_dups": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        """,
+        "media_features": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                     text
+              FROM documents WHERE doc_id < 100)
+            SELECT m.media_id, m.kind,
+                   CAST(octet_length(encode(m.text)) AS BIGINT) AS n_bytes,
+                   sha256(m.text) AS sha256,
+                   CAST(f.frame_idx AS INT) AS frame_idx
+            FROM m, (SELECT unnest(range(0, 3)) AS frame_idx) f
+            WHERE m.kind = 'video' OR f.frame_idx = 0
+        """,
+        "lineage": f"""
+            WITH {_ROUTED.lstrip()}
+            SELECT sink, CAST(1 AS BIGINT) AS snapshot_id,
+                   added_rows, added_rows AS row_count,
+                   CASE sink WHEN 'sink_errors' THEN 'hour'
+                             WHEN '_audit' THEN 'month'
+                             WHEN '_agg_hourly' THEN ''
+                             ELSE 'day' END AS partition_unit
+            FROM (
+              SELECT sink_table AS sink, CAST(count(*) AS BIGINT) AS added_rows
+              FROM routed GROUP BY 1
+              UNION ALL
+              SELECT '_agg_hourly', CAST(count(*) AS BIGINT) FROM (
+                SELECT DISTINCT sink_table, role, coalesce(called_tool, tool),
+                       date_trunc('hour', ts)
+                FROM routed)
+              UNION ALL
+              SELECT '_audit', CAST(1 AS BIGINT))
+        """,
         "dedup_exact": r"""
             WITH h AS (
               SELECT doc_id, lang, source,

@@ -56,8 +56,22 @@ def connected_components(
     ).localCheckpoint()
     for _ in range(max_rounds):
         nxt = _star_round(edges).localCheckpoint()
-        # fixpoint when the edge set stops changing
-        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+        # fixpoint when the edge set stops changing — ONE job per
+        # round: tag-union both (checkpointed) sets and compare
+        # (count, hash-sum) signatures, instead of count + count +
+        # exceptAll (3 jobs, one with a full shuffle)
+        sig = {
+            r["t"]: (r["n"], r["h"])
+            for r in edges.select(F.lit(0).alias("t"), "src", "dst")
+            .unionByName(nxt.select(F.lit(1).alias("t"), "src", "dst"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 # decimal(38,0) accumulator: exact, no ANSI long
+                 # overflow no matter the edge count
+                 F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"))
+            .collect()
+        }
+        if sig.get(0) == sig.get(1):
             edges = nxt
             break
         edges = nxt

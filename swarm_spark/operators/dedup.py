@@ -114,19 +114,29 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 16,
     seed: int = 42,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs agreeing on ALL
     rows of any band collide. bands=16 over 128 hashes → r=8 rows/band
     (match probability s^8 per band; ~0.5 at s≈0.92).
 
-    Returns (id_a, id_b, jaccard) for candidates verified with EXACT
-    shingle-set Jaccard (array_intersect/array_union — JVM-side).
-    The only shuffles: one on band bucket, one self-join on bucket.
+    Returns (id_a, id_b, inter, union_sz, jaccard) for candidates
+    verified with EXACT shingle-set Jaccard (array_intersect/
+    array_union — JVM-side). The only shuffles: one on band bucket,
+    one self-join on bucket. persist_base caches the (id, shingles)
+    projection so tokenization runs ONCE across the banding and verify
+    passes (MEMORY_AND_DISK; pass False for fire-and-forget plans
+    where recompute beats cache residency).
     """
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"), shingles(text_col).alias("_sh")
-    ).withColumn("_sig", minhash_signature("_sh", num_hashes, seed))
+    )
+    if persist_base:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = base.withColumn("_sig", minhash_signature("_sh", num_hashes, seed))
 
     # Memory discipline at corpus scale: the 16-way band explode and
     # the bucket self-join move ONLY (id, band, bucket) — never the
@@ -155,8 +165,13 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # inter/union as exact INTEGERS alongside the float score: threshold
+    # checks and oracle hashing use integer math (inter*1e6 >= t*union),
+    # immune to float boundary flips across engines
     return cand.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
+        "id_a", "id_b",
+        inter.alias("inter"), union.alias("union_sz"),
+        (inter / union).alias("jaccard"),
     )
 
 
@@ -182,12 +197,30 @@ def dedup_minhash(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(col) -> F.Column:
-    """64-bit SimHash from token xxhash64s, fully JVM-side:
-    for each bit position, sign of sum over tokens of (+1 if bit set
-    else -1). Expressed as 64 aggregate lambda expressions over the
-    token-hash array — codegen'd, no Python."""
-    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+def simhash64(col, hash_fn: str = "xxhash64") -> F.Column:
+    """SimHash from token hashes, fully JVM-side: for each bit
+    position, sign of sum over tokens of (+1 if bit set else -1).
+    Expressed as one aggregate lambda per bit over the token-hash
+    array — codegen'd, no Python.
+
+    hash_fn:
+      'xxhash64' — 64-bit JVM xxhash (the production path, fastest)
+      'md5w60'   — 60-bit hash from the md5 hex prefix
+                   (conv(substr(md5,1,15),16,10)); slower, but md5 is
+                   portable so the signature is bit-identical in any
+                   engine with md5 — the cross-engine-verifiable path
+    """
+    if hash_fn == "xxhash64":
+        th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+        n_bits = 64
+    elif hash_fn == "md5w60":
+        th = F.transform(
+            tokens(col),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+        n_bits = 60
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
     def bit_vote(mask: int):
         return lambda acc, h: acc + F.when(
@@ -195,7 +228,7 @@ def simhash64(col) -> F.Column:
         ).otherwise(-1)
 
     bits = []
-    for i in range(64):
+    for i in range(n_bits):
         mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit in a JVM long
         vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(mask))
         bits.append(F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
@@ -210,15 +243,19 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates: split the 64-bit simhash into
-    (max_hamming+1) bands; pairs within max_hamming hamming distance
-    must agree exactly on ≥1 band (pigeonhole). Equality join on
-    (band_idx, band_value), then exact hamming verify via
-    bit_count(xor)."""
+    """Near-dup candidates: split the simhash into (max_hamming+1)
+    bands; pairs within max_hamming hamming distance must agree
+    exactly on ≥1 band (pigeonhole — EXACT recall, not probabilistic).
+    Equality join on (band_idx, band_value), then exact hamming verify
+    via bit_count(xor): the result set equals the all-pairs exact
+    answer, which is what the DuckDB oracle recomputes for md5w60."""
     nb = max_hamming + 1
-    width = 64 // nb
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sh"))
+    n_bits = 60 if hash_fn == "md5w60" else 64
+    width = n_bits // nb
+    sh = df.select(F.col(id_col).alias("_id"),
+                   simhash64(text_col, hash_fn).alias("_sh"))
     bands = F.array(*[
         F.shiftrightunsigned(F.col("_sh"), i * width).bitwiseAND(F.lit((1 << width) - 1).cast("long"))
         for i in range(nb)
@@ -286,7 +323,8 @@ def jaccard_pairs_inverted(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
-    max_doc_ratio: float | None = None,
+    max_doc_ratio: float | None | str = "auto",
+    guard_min_docs: int = 100_000,
 ) -> DataFrame:
     """EXACT Jaccard for every pair sharing ≥1 shingle, via an
     inverted-index join: explode shingles → equi-join on shingle →
@@ -296,21 +334,34 @@ def jaccard_pairs_inverted(
     (hash-partitionable), the explosion factor is bounded by document
     length, and no pair that can't have J>0 is ever materialized.
     Stop-shingle filtering (drop shingles appearing in >p% of docs)
-    is the standard skew guard at corpus scale."""
+    is the standard skew guard at corpus scale — DEFAULT-ON
+    ('auto': engages at 5% once the corpus exceeds guard_min_docs, so
+    a hot shingle can never O(df²)-blow up a big run; small corpora
+    keep the exhaustive path). Pass an explicit float to force it, or
+    None to disable."""
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles(text_col, k).alias("_sh"),
     ).withColumn("_n", F.size("_sh"))
     ex = base.select("_id", "_n", F.explode("_sh").alias("_s"))
 
+    if max_doc_ratio == "auto":
+        # row count of the INPUT (no shingle recompute — df.count() is
+        # a cheap narrow scan, usually a parquet metadata read)
+        n_docs = df.count()
+        max_doc_ratio = 0.05 if n_docs > guard_min_docs else None
+    else:
+        n_docs = None
+
     if max_doc_ratio is not None:
-        # Stop-shingle skew guard (opt-in, corpus scale): a shingle in
-        # >max_doc_ratio of docs creates an O(df^2) pair blowup in the
-        # self-join. Drop such shingles from CANDIDATE GENERATION only;
-        # the verify below recomputes Jaccard on the FULL shingle sets
-        # so surviving pairs keep exact scores. Trade-off (documented):
-        # pairs whose overlap is exclusively stop-shingles are missed.
-        n_docs = base.count()
+        # Stop-shingle skew guard: a shingle in >max_doc_ratio of docs
+        # creates an O(df^2) pair blowup in the self-join. Drop such
+        # shingles from CANDIDATE GENERATION only; the verify below
+        # recomputes Jaccard on the FULL shingle sets so surviving
+        # pairs keep exact scores. Trade-off (documented): pairs whose
+        # overlap is exclusively stop-shingles are missed.
+        if n_docs is None:
+            n_docs = df.count()
         hot = (
             ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_doc_ratio * n_docs)
@@ -362,15 +413,20 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic near-dups: random-hyperplane LSH prefilter + exact
     cosine verify. Hyperplanes are derived deterministically from the
     seed via hash-based pseudo-gaussians (sum of 4 scaled uniforms) —
-    reproducible across runs with no stored model."""
+    reproducible across runs with no stored model. Pass dim explicitly
+    when known (schema metadata / config) — the fallback probes one
+    row at PLAN time, a driver-side action worth avoiding in
+    composed pipelines."""
     from swarm_spark.operators.similarity import cosine, rhp_signature
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    dim = len(base.select("_v").first()["_v"])
+    if dim is None:
+        dim = len(base.select("_v").first()["_v"])
     sig = rhp_signature(F.col("_v"), dim, n_planes, seed)
     banded = base.withColumn("_bucket", sig)
     a, b = banded.alias("a"), banded.alias("b")

@@ -55,42 +55,89 @@ def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 
 def extract_features(
     df: DataFrame,
-    decoder: str = "fake",
+    decoder="fake",
     frames_per_video: int = 3,
     feature_dim: int = 16,
 ) -> DataFrame:
     """mapInPandas feature extraction. One output row per image/audio,
     frames_per_video rows per video (frame sampling fan-out inside the
-    iterator — the blob never passes through an explode)."""
+    iterator — the blob never passes through an explode).
+
+    decoder: 'fake' (deterministic hash-expansion kernel), 'real'
+    (NotImplementedError until codec libs exist), or any CALLABLE
+    ``(payload: bytes, dim: int) -> np.ndarray`` — the injection point
+    for a real decode→embed kernel; the Spark-side plumbing (schema,
+    batching, fan-out, payload lifecycle) is identical for all three.
+
+    The batch loop iterates column ARRAYS via zip (per-blob work is
+    inherently per-row, but pandas iterrows adds ~10× constant
+    overhead the kernel never needs to pay)."""
     if decoder == "real":
         raise NotImplementedError(
             "real decoders need PIL/soundfile/ffmpeg — not in this container; "
-            "plug the kernel in here (signature: bytes -> np.ndarray)"
+            "pass a callable kernel (bytes, dim) -> np.ndarray instead"
         )
-    if decoder != "fake":
+    if decoder == "fake":
+        kernel = _fake_decode
+    elif callable(decoder):
+        kernel = decoder
+    else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r.payload) if r.payload is not None else b""
-                n_frames = frames_per_video if r.kind == "video" else 1
-                sha = hashlib.sha256(payload).hexdigest()
+            ids, kinds, feats = [], [], []
+            n_bytes, shas, fidxs = [], [], []
+            # zip over raw numpy columns — no per-row pandas Series
+            for mid, kind, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                buf = bytes(payload) if payload is not None else b""
+                n_frames = frames_per_video if kind == "video" else 1
+                sha = hashlib.sha256(buf).hexdigest()
                 for fi in range(n_frames):
                     # frame sampling: deterministic per-frame salt
-                    feat = _fake_decode(payload + fi.to_bytes(4, "big"), feature_dim)
-                    out.append({
-                        "media_id": r.media_id, "kind": r.kind,
-                        "n_bytes": len(payload), "sha256": sha,
-                        "feature": feat.tolist(), "frame_idx": fi,
-                    })
-            yield pd.DataFrame(out, columns=[
-                "media_id", "kind", "n_bytes", "sha256", "feature", "frame_idx",
-            ])
+                    feat = kernel(buf + fi.to_bytes(4, "big"), feature_dim)
+                    ids.append(mid)
+                    kinds.append(kind)
+                    n_bytes.append(len(buf))
+                    shas.append(sha)
+                    feats.append(feat.tolist())
+                    fidxs.append(fi)
+            yield pd.DataFrame({
+                "media_id": ids, "kind": kinds, "n_bytes": n_bytes,
+                "sha256": shas, "feature": feats, "frame_idx": fidxs,
+            })
 
     # drop the payload column in the SAME pass: downstream moves vectors only
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, limit_ids: int | None = 100) -> DataFrame:
+    """Deterministic media table derived from the documents corpus:
+    payload = utf-8 bytes of the text, kind cycles by doc_id % 3.
+    Every derived value (n_bytes, sha256, frame fan-out) is therefore
+    recomputable in plain SQL — the oracle-checkable media fixture
+    (unlike synthetic_media, which exists only Spark-side)."""
+    from pyspark.sql import functions as F
+
+    m = docs
+    if limit_ids is not None:
+        m = m.filter(F.col("doc_id") < limit_ids)  # deterministic subset
+    return m.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

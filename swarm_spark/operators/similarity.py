@@ -47,6 +47,66 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# -- integer-quantized scoring: cross-engine EXACT ----------------------
+#
+# Floats differ in the last bits across engines (summation order), so
+# hash-verified oracles quantize the VECTORS to integers first and
+# compare an integer score: with q(v) = round(v*scale) as BIGINT,
+#
+#   score_q = sign(<qa,qb>) * (1_000_000 * <qa,qb>^2) div (|qa|^2 |qb|^2)
+#
+# is monotone in |cosine| (signed), computed in exact 64-bit integer
+# arithmetic in BOTH Spark and DuckDB. Bounds (|x|<=1, dim<=64,
+# scale=128): dot <= 64*128^2 ~ 2^20, 1e6*dot^2 ~ 2^60 < 2^63. The
+# float paths above remain the production scorers.
+
+def quantize_vec(a: Column, scale: int = 128) -> Column:
+    return F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_quantized(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 128,
+) -> DataFrame:
+    """Exact brute-force top-k by the quantized signed-squared-cosine
+    score — integer-exact across engines (the q_embedding_knn trick
+    extended to cosine). Ties broken by id; plan is still
+    Scan → Project → TakeOrderedAndProject."""
+    qv = (
+        df.filter(F.col(id_col) == query_id)
+        .select(quantize_vec(F.col(vec_col), scale).alias("_qv"))
+    )
+    out = df.crossJoin(F.broadcast(qv)).select(
+        F.col(id_col),
+        dot_q(quantize_vec(F.col(vec_col), scale), F.col("_qv")).alias("_d"),
+        dot_q(quantize_vec(F.col(vec_col), scale),
+              quantize_vec(F.col(vec_col), scale)).alias("_na"),
+        dot_q(F.col("_qv"), F.col("_qv")).alias("_nq"),
+    )
+    return (
+        out.withColumn(
+            "score_q",
+            F.expr("CASE WHEN _d >= 0 THEN 1 ELSE -1 END"
+                   " * ((1000000 * _d * _d) div (_na * _nq))"),
+        )
+        .select(id_col, "score_q")
+        .orderBy(F.desc("score_q"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _pseudo_gaussian(plane: int, coord: int, seed: int) -> float:
     """Deterministic ~N(0,1) from (plane, coord, seed): sum of 4
     hash-derived uniforms, CLT-normalized. Pure Python at PLAN time —
@@ -217,5 +277,53 @@ def ivf_topk(
         df_assigned.filter(F.col("_list").isin(probe))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
         .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_quantized(
+    df_assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 128,
+) -> DataFrame:
+    """ivf_topk with the integer-quantized score (cross-engine exact).
+    With n_probe == len(centroids) the probe covers every list, so the
+    result is EXACTLY the brute-force quantized top-k — the
+    hash-verifiable configuration; smaller n_probe is the approximate
+    production path (recall pinned by pytest)."""
+    qn = np.array(query_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+
+    def _q(x: float) -> int:
+        # HALF_UP away from zero — Spark's round() and DuckDB's round(),
+        # NOT Python's banker's rounding
+        ax = abs(float(x)) * scale
+        return int(math.floor(ax + 0.5)) * (1 if x >= 0 else -1)
+
+    qq = [_q(x) for x in query_vec]
+    qv = F.array(*[F.lit(v).cast("long") for v in qq])
+    nq = int(sum(v * v for v in qq))
+    v = quantize_vec(F.col(vec_col), scale)
+    out = df_assigned.filter(F.col("_list").isin(probe)).select(
+        F.col(id_col),
+        dot_q(v, qv).alias("_d"),
+        dot_q(v, v).alias("_na"),
+        F.lit(nq).cast("long").alias("_nq"),
+    )
+    return (
+        out.withColumn(
+            "score_q",
+            F.expr("CASE WHEN _d >= 0 THEN 1 ELSE -1 END"
+                   " * ((1000000 * _d * _d) div (_na * _nq))"),
+        )
+        .select(id_col, "score_q")
+        .orderBy(F.desc("score_q"), F.col(id_col))
         .limit(k)
     )

@@ -234,3 +234,112 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             extract_features(synthetic_media(spark, 3), decoder="real")
+
+
+class TestQuantizedScoring:
+    """Cross-engine-exact integer scoring (the oracle-verified path)."""
+
+    def test_quantized_topk_matches_float_topk_ids(self, spark, embs):
+        from swarm_spark.operators.similarity import cosine_topk, cosine_topk_quantized
+
+        q = [r[0] for r in embs.filter(F.col("vec_id") == 0)
+             .select(F.explode("embedding")).collect()]
+        float_ids = [r.vec_id for r in cosine_topk(embs, q, k=10).collect()]
+        quant_ids = [r.vec_id for r in
+                     cosine_topk_quantized(embs, query_id=0, k=10).collect()]
+        # quantization at scale=128 must not reorder well-separated
+        # neighbors on this corpus
+        assert set(float_ids) == set(quant_ids)
+
+    def test_ivf_quantized_probe_all_is_exact(self, spark, embs):
+        from swarm_spark.operators.similarity import (
+            cosine_topk_quantized,
+            ivf_assign,
+            ivf_centroids,
+            ivf_topk_quantized,
+        )
+
+        cents = ivf_centroids(embs, 8)
+        assigned = ivf_assign(embs, cents)
+        q = [r[0] for r in embs.filter(F.col("vec_id") == 1)
+             .select(F.explode("embedding")).collect()]
+        ivf = ivf_topk_quantized(assigned, cents, q, k=10, n_probe=8).collect()
+        brute = cosine_topk_quantized(embs, query_id=1, k=10).collect()
+        assert [(r.vec_id, r.score_q) for r in ivf] == \
+               [(r.vec_id, r.score_q) for r in brute]
+
+    def test_simhash_md5_basis_matches_xxhash_structure(self, spark):
+        from swarm_spark.operators.dedup import simhash_pairs
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(3)]
+        rows += [(10, "completely different text about spark shuffles and joins")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for hf in ("xxhash64", "md5w60"):
+            got = simhash_pairs(df, max_hamming=3, hash_fn=hf).collect()
+            pairs = {(r.id_a, r.id_b) for r in got}
+            assert pairs == {(0, 1), (0, 2), (1, 2)}
+            assert all(r.hamming == 0 for r in got)
+
+
+class TestHotShingleGuard:
+    def test_auto_guard_bounds_candidates(self, spark):
+        """A stop-shingle shared by EVERY doc must not O(n^2) the pair
+        count once the corpus crosses the guard threshold."""
+        from swarm_spark.operators.dedup import jaccard_pairs_inverted
+
+        n = 400
+        # every doc: unique body + one white-hot shared shingle
+        rows = [(i, f"hot stop shingle unique{i} body{i} tail{i} word{i} more{i}")
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # guard ON (threshold lowered so this corpus qualifies)
+        guarded = jaccard_pairs_inverted(
+            df, threshold=0.01, max_doc_ratio="auto", guard_min_docs=100
+        )
+        # every pair shares ONLY the hot shingles -> guard drops them
+        # from candidate generation -> no O(n^2) blowup
+        assert guarded.count() == 0
+        # guard OFF: the exhaustive path materializes all ~n^2/2 pairs
+        unguarded = jaccard_pairs_inverted(
+            df.limit(50), threshold=0.01, max_doc_ratio=None
+        )
+        assert unguarded.count() == 50 * 49 // 2
+
+    def test_guard_preserves_exact_scores_for_real_dups(self, spark):
+        from swarm_spark.operators.dedup import jaccard_pairs_inverted
+
+        rows = [(i, f"common prefix words here doc{i} alpha beta gamma") for i in range(30)]
+        rows += [(100, "spark shuffle partition skew salt broadcast join spark"),
+                 (101, "spark shuffle partition skew salt broadcast join spark")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = jaccard_pairs_inverted(
+            df, threshold=0.9, max_doc_ratio=0.5, guard_min_docs=1
+        ).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(100, 101, 1.0)]
+
+
+class TestMultimodalKernel:
+    def test_callable_kernel_injected(self, spark):
+        from swarm_spark.operators.multimodal import extract_features, synthetic_media
+
+        def kernel(payload: bytes, dim: int) -> np.ndarray:
+            return np.full(dim, float(len(payload) % 7), dtype=np.float32)
+
+        media = synthetic_media(spark, n=6)
+        pdf = extract_features(media, decoder=kernel, feature_dim=4).toPandas()
+        assert all(len(f) == 4 for f in pdf.feature)
+        for _, r in pdf.iterrows():
+            assert all(v == float((r.n_bytes + 4) % 7) for v in r.feature)
+
+    def test_media_from_documents_deterministic(self, spark, docs):
+        from swarm_spark.operators.multimodal import extract_features, media_from_documents
+
+        media = media_from_documents(docs, limit_ids=30)
+        pdf = extract_features(media).toPandas()
+        import hashlib
+        texts = {str(r.doc_id): r.text for r in
+                 docs.filter(F.col("doc_id") < 30).collect()}
+        for _, r in pdf.iterrows():
+            raw = texts[r.media_id].encode()
+            assert r.n_bytes == len(raw)
+            assert r.sha256 == hashlib.sha256(raw).hexdigest()
