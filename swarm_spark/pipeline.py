@@ -27,6 +27,7 @@ Scale notes (10^12 turns):
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -67,6 +68,14 @@ class PipelineConfig:
     # re-deriving the narrow parse per sink beats caching the data —
     # SCALE.md "Memory")
     persist_routed: str = "memory_and_disk"
+    # 'single_pass' (default): ONE partitionBy(_sink, _p) write job
+    # stages every sink's rows, each table then ADOPTS its
+    # subdirectory as a snapshot — N sinks cost one Spark write job +
+    # N metadata commits, and the routed counts ride that job's
+    # Observation (no separate .count() materialization).
+    # 'per_sink': the N-filtered-writes fallback (one job per sink)
+    # for A/B benchmarking.
+    write_mode: str = "single_pass"
     audit_table: str = "_audit"
     agg_table: str = "_agg_hourly"
     # with on_unmatched='keep', rows no event rule matched are appended
@@ -198,6 +207,122 @@ class IngestPipeline:
     # ------------------------------------------------------------------
     # execution (actions; exactly-once gated)
     # ------------------------------------------------------------------
+    def _single_pass_write(self, routed: DataFrame, request_id: str,
+                           sinks: list[str], rule_by_sink: dict,
+                           dl_name: str, commit_adopt, obs_in):
+        """ONE Spark write job for every sink (the multi-sink fan-out
+        that used to be N filtered writes):
+
+            routed ──(null per-sink dropped fields)──(_p per-sink
+              partition transform)──repartition(_sink,_p)──
+              partitionBy(_sink,_p) parquet → <wh>/_batch/<request_id>
+
+        then each sink table ADOPTS its `_sink=<name>` subdirectory as
+        an append snapshot (metadata-only). Per-sink row counts ride
+        the job as Observation aggregates — no .count()
+        materialization pass, and the input-rows observation collects
+        on the same job. A cross-check re-counts the staged files from
+        parquet footers (a metadata-only job) so the commit counts
+        stay independently verified (X6, bq/client.go:240-248)."""
+        from pyspark.sql import Observation
+
+        from .tablestore import _PART_FMT
+
+        cfg = self.config
+        staged = routed
+        if dl_name:
+            staged = staged.withColumn(
+                "_sink", F.coalesce(F.col("sink_table"), F.lit(dl_name))
+            )
+        else:
+            staged = staged.filter(F.col("sink_table").isNotNull()) \
+                           .withColumn("_sink", F.col("sink_table"))
+
+        payload_cols = [c for c in PAYLOAD_FIELDS if c in routed.columns]
+        out_cols = []
+        for c in ["id", "ingest_id", "timestamp", "ingested_at"] + payload_cols:
+            dropping = [r.sink_table for r in cfg.schema_rules
+                        if c in set(r.drop_fields)]
+            if dropping:
+                # true removal semantics: the field is nulled for sinks
+                # that drop it (and excluded from their logical schema)
+                out_cols.append(
+                    F.when(F.col("_sink").isin(dropping), F.lit(None))
+                    .otherwise(F.col(c)).alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        p = F.lit(None).cast("string")
+        for r in cfg.schema_rules:
+            if r.partition_unit:
+                p = F.when(F.col("_sink") == r.sink_table,
+                           F.date_format("timestamp", _PART_FMT[r.partition_unit])
+                           ).otherwise(p)
+        staged = staged.select("_sink", *out_cols).withColumn("_p", p)
+
+        all_sinks = sinks + ([dl_name] if dl_name else [])
+        obs_w = Observation(f"w-{request_id[:8]}")
+        aggs = [F.count(F.lit(1)).alias("_total")] + [
+            F.sum(F.when(F.col("_sink") == s, 1).otherwise(0)).alias(f"n_{i}")
+            for i, s in enumerate(all_sinks)
+        ]
+        staged = staged.observe(obs_w, *aggs)
+
+        # explicit-count repartition on (_sink, _p): file creation stays
+        # parallel across the task width AND one file per hive partition
+        # (see tablestore._write_data for the two failure modes)
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        batch_dir = os.path.join(cfg.warehouse, "_batch", request_id)
+        (staged.repartition(n, F.col("_sink"), F.col("_p"))
+         .write.mode("overwrite").partitionBy("_sink", "_p").parquet(batch_dir))
+
+        vals = obs_w.get
+        input_rows = int(obs_in.get["n"])
+        counts = {s: int(vals[f"n_{i}"] or 0) for i, s in enumerate(all_sinks)}
+        total = int(vals["_total"] or 0)
+        if sum(counts.values()) != total:
+            raise RuntimeError(
+                f"single-pass fan-out accounting broken: {counts} vs {total}")
+        # independent recount from the staged parquet footers
+        if total > 0:
+            written = self.spark.read.parquet(batch_dir).count()
+            if written != total:
+                raise RuntimeError(
+                    f"staged-write count mismatch: {written} written vs "
+                    f"{total} observed")
+
+        field_by_name = {f.name: f for f in routed.schema.fields}
+        from pyspark.sql import types as T
+
+        def sink_schema(keep: list[str]) -> T.StructType:
+            env = [
+                T.StructField("id", T.StringType()),
+                T.StructField("ingest_id", T.StringType()),
+                T.StructField("timestamp", T.TimestampType()),
+                T.StructField("ingested_at", T.TimestampType()),
+            ]
+            return T.StructType(
+                env + [T.StructField(c, field_by_name[c].dataType)
+                       for c in keep]
+            )
+
+        per_sink_rows: dict[str, int] = {}
+        snapshot_ids: dict[str, int] = {}
+        for s in all_sinks:
+            r = rule_by_sink.get(s)
+            keep = [c for c in payload_cols
+                    if r is None or c not in set(r.drop_fields)]
+            ddir = os.path.join(batch_dir, f"_sink={s}")
+            snap = commit_adopt(
+                s, ddir if os.path.isdir(ddir) else None, counts[s],
+                sink_schema(keep),
+                r.partition_unit if r is not None else "",
+            )
+            per_sink_rows[s] = snap["added_rows"]
+            snapshot_ids[s] = snap["snapshot_id"]
+        routed_rows_total = total - counts.get(dl_name, 0)
+        return per_sink_rows, snapshot_ids, routed_rows_total, input_rows
+
     def run(self, transcripts: DataFrame, batch_id: str,
             request_id: str | None = None) -> LoadResult:
         cfg = self.config
@@ -259,52 +384,85 @@ class IngestPipeline:
                 routed = routed.persist(levels[cfg.persist_routed])
             elif cfg.persist_routed != "none":
                 raise ValueError(f"persist_routed={cfg.persist_routed!r}")
-            # Materialize the cache ONCE before the per-sink fan-out;
-            # otherwise N writer threads race to compute the same plan
-            # N times before the cache is populated.
-            routed_rows_total = routed.count()
-            if cfg.on_unmatched == "keep":
-                # unmatched rows have null sink_table; only matched rows
-                # are expected in the per-sink totals (dead-letter rows
-                # are accounted separately)
-                routed_rows_total = routed.filter(
-                    F.col("sink_table").isNotNull()
-                ).count()
-            input_rows = int(obs_in.get["n"])
 
             sinks = sorted({r.sink_table for r in cfg.schema_rules})
             rule_by_sink = {r.sink_table: r for r in cfg.schema_rules}
             per_sink_rows: dict[str, int] = {}
             snapshot_ids: dict[str, int] = {}
+            dl_name = (cfg.dead_letter_table
+                       if cfg.dead_letter_table and cfg.on_unmatched == "keep"
+                       else "")
 
-            if cfg.dead_letter_table and cfg.on_unmatched == "keep":
-                dl = routed.filter(F.col("sink_table").isNull()).select(
-                    "id", "ingest_id", "timestamp", "ingested_at",
-                    *[c for c in PAYLOAD_FIELDS if c in routed.columns],
-                )
-                if not dl.isEmpty():
-                    snap = commit_append(cfg.dead_letter_table, dl, ts_col="timestamp")
-                    per_sink_rows[cfg.dead_letter_table] = snap["added_rows"]
-                    snapshot_ids[cfg.dead_letter_table] = snap["snapshot_id"]
+            def commit_adopt(table_name: str, ddir: str | None, n: int,
+                             schema, partition_unit: str = "") -> dict:
+                import shutil
 
-            def write_sink(sink: str):
-                r = rule_by_sink[sink]
-                keep = [c for c in PAYLOAD_FIELDS
-                        if c in routed.columns and c not in set(r.drop_fields)]
-                out = routed.filter(F.col("sink_table") == sink).select(
-                    "id", "ingest_id", "timestamp", "ingested_at", *keep
-                )
-                snap = commit_append(
-                    sink, out, partition_unit=r.partition_unit, ts_col="timestamp"
-                )
-                return sink, snap
+                t = self.catalog.table(table_name)
+                with book_lock:
+                    if table_name in prior:
+                        for s_ in t.snapshots():
+                            if s_["snapshot_id"] == prior[table_name]:
+                                # already committed by the failed
+                                # attempt — drop this attempt's staged
+                                # copy and keep the durable snapshot
+                                if ddir and os.path.isdir(ddir):
+                                    shutil.rmtree(ddir, ignore_errors=True)
+                                return s_
+                        del prior[table_name]
+                snap = t.adopt_dir(ddir, n, schema, partition_unit, "timestamp")
+                with book_lock:
+                    committed[table_name] = snap["snapshot_id"]
+                    attempt.append((table_name, snap["snapshot_id"]))
+                    self.manifest.update(batch_id, STATE_RUNNING, committed)
+                return snap
 
-            # per-dest worker pool ≙ load.go:96-121; each write re-reads
-            # the PERSISTED routed DF, not the source.
-            with ThreadPoolExecutor(max_workers=cfg.sink_concurrency) as pool:
-                for sink, snap in pool.map(write_sink, sinks):
-                    per_sink_rows[sink] = snap["added_rows"]
-                    snapshot_ids[sink] = snap["snapshot_id"]
+            if cfg.write_mode == "single_pass":
+                per_sink_rows, snapshot_ids, routed_rows_total, input_rows = \
+                    self._single_pass_write(
+                        routed, request_id, sinks, rule_by_sink, dl_name,
+                        commit_adopt, obs_in,
+                    )
+            elif cfg.write_mode == "per_sink":
+                # Materialize the cache ONCE before the per-sink
+                # fan-out; otherwise N writer threads race to compute
+                # the same plan N times before the cache is populated.
+                routed_rows_total = routed.count()
+                if cfg.on_unmatched == "keep":
+                    routed_rows_total = routed.filter(
+                        F.col("sink_table").isNotNull()
+                    ).count()
+                input_rows = int(obs_in.get["n"])
+
+                if dl_name:
+                    dl = routed.filter(F.col("sink_table").isNull()).select(
+                        "id", "ingest_id", "timestamp", "ingested_at",
+                        *[c for c in PAYLOAD_FIELDS if c in routed.columns],
+                    )
+                    if not dl.isEmpty():
+                        snap = commit_append(dl_name, dl, ts_col="timestamp")
+                        per_sink_rows[dl_name] = snap["added_rows"]
+                        snapshot_ids[dl_name] = snap["snapshot_id"]
+
+                def write_sink(sink: str):
+                    r = rule_by_sink[sink]
+                    keep = [c for c in PAYLOAD_FIELDS
+                            if c in routed.columns and c not in set(r.drop_fields)]
+                    out = routed.filter(F.col("sink_table") == sink).select(
+                        "id", "ingest_id", "timestamp", "ingested_at", *keep
+                    )
+                    snap = commit_append(
+                        sink, out, partition_unit=r.partition_unit, ts_col="timestamp"
+                    )
+                    return sink, snap
+
+                # per-dest worker pool ≙ load.go:96-121; each write
+                # re-reads the PERSISTED routed DF, not the source.
+                with ThreadPoolExecutor(max_workers=cfg.sink_concurrency) as pool:
+                    for sink, snap in pool.map(write_sink, sinks):
+                        per_sink_rows[sink] = snap["added_rows"]
+                        snapshot_ids[sink] = snap["snapshot_id"]
+            else:
+                raise ValueError(f"write_mode={cfg.write_mode!r}")
 
             agg = self.aggregate(routed).withColumn("batch_id", F.lit(batch_id))
             agg_snap = commit_append(

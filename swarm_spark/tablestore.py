@@ -244,20 +244,24 @@ class IcepackTable:
         writer.parquet(ddir)
         return ddir, int(obs.get["n"])
 
-    def append(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp") -> dict:
-        """Append with schema evolution; returns the committed snapshot."""
+    def _append_snapshot(self, ddir: str | None, n: int,
+                         incoming_schema: T.StructType,
+                         partition_unit: str, ts_col: str) -> dict:
+        """Shared commit path for append() and adopt_dir(): schema
+        evolution + snapshot construction around an already-written
+        (or absent, when n==0) data dir."""
         prev = self.current_snapshot()
         if prev is not None:
             old_schema = T.StructType.fromJson(json.loads(prev["schema"]))
-            schema = merge_schemas(old_schema, df.schema)
+            schema = merge_schemas(old_schema, incoming_schema)
             partition_unit = prev.get("partition_unit") or partition_unit
         else:
-            schema = df.schema
-        ddir, n = self._write_data(df, partition_unit, ts_col)
+            schema = incoming_schema
+        new_dirs = [ddir] if ddir is not None else []
         snap = {
             "parent": prev["snapshot_id"] if prev else None,
             "op": "append",
-            "data_dirs": (prev["data_dirs"] if prev else []) + [ddir],
+            "data_dirs": (prev["data_dirs"] if prev else []) + new_dirs,
             "_base_dirs": prev["data_dirs"] if prev else [],
             "schema": json.dumps(schema.jsonValue()),
             "partition_unit": partition_unit,
@@ -269,6 +273,28 @@ class IcepackTable:
         snap["snapshot_id"] = None
         self._commit(snap)
         return snap
+
+    def append(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp") -> dict:
+        """Append with schema evolution; returns the committed snapshot."""
+        prev = self.current_snapshot()
+        unit = (prev.get("partition_unit") or partition_unit) if prev else partition_unit
+        ddir, n = self._write_data(df, unit, ts_col)
+        return self._append_snapshot(ddir, n, df.schema, partition_unit, ts_col)
+
+    def adopt_dir(self, ddir: str | None, added_rows: int,
+                  schema: T.StructType, partition_unit: str = "",
+                  ts_col: str = "timestamp") -> dict:
+        """Commit an ALREADY-WRITTEN parquet directory as an append
+        snapshot (schema evolution rules identical to append). This is
+        the single-pass multi-sink write path: one partitionBy(sink)
+        job writes every sink's data, then each sink table adopts its
+        subdirectory — N sinks cost ONE Spark job instead of N.
+        `schema` is the sink's LOGICAL schema: the files may carry
+        extra columns (e.g. per-sink dropped fields written as nulls);
+        read() projects to the recorded schema so they stay invisible.
+        ddir=None (or added_rows==0 with no dir) commits an empty
+        append, keeping per-batch lineage rows consistent."""
+        return self._append_snapshot(ddir, added_rows, schema, partition_unit, ts_col)
 
     def overwrite(self, df: DataFrame, partition_unit: str = "",
                   ts_col: str = "timestamp", op: str = "overwrite") -> dict:
@@ -391,6 +417,8 @@ class IcepackTable:
         if snap is None:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        if not snap["data_dirs"]:  # empty-append-only table
+            return spark.createDataFrame([], schema)
         # ONE multi-path parquet relation over all data dirs — plan
         # depth stays flat no matter how many snapshots the table has
         # (manifest-file planning: the snapshot's cumulative dir list

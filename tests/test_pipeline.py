@@ -190,3 +190,78 @@ def test_dead_letter_sink(spark, transcripts, tmp_path):
     assert res.per_sink_rows["sink_a"] == n_assistant
     assert res.per_sink_rows["_dead"] == n_total - n_assistant
     assert pipe.catalog.table("_dead").read(spark).count() == n_total - n_assistant
+
+
+def test_single_pass_equals_per_sink(spark, transcripts, tmp_path):
+    """The ONE-write-job fan-out must produce byte-identical sink
+    contents to the N-filtered-writes path, including drop_fields
+    invisibility and per-sink partition units."""
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+
+    results = {}
+    for mode in ("single_pass", "per_sink"):
+        cfg = PipelineConfig(
+            event_rules=default_event_rules(),
+            schema_rules=default_schema_rules(),
+            warehouse=str(tmp_path / f"wh_{mode}"),
+            tool_dim=default_tool_dim(spark),
+            write_mode=mode,
+        )
+        pipe = IngestPipeline(spark, cfg)
+        res = pipe.run(transcripts, batch_id="b")
+        tables = {}
+        for sink in res.per_sink_rows:
+            pdf = pipe.catalog.table(sink).read(spark).drop("ingest_id", "ingested_at").toPandas()
+            tables[sink] = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+        results[mode] = (res, tables)
+
+    res_sp, t_sp = results["single_pass"]
+    res_ps, t_ps = results["per_sink"]
+    assert res_sp.per_sink_rows == res_ps.per_sink_rows
+    assert res_sp.routed_rows == res_ps.routed_rows
+    assert set(t_sp) == set(t_ps)
+    import pandas as pd
+
+    for sink in t_sp:
+        assert list(t_sp[sink].columns) == list(t_ps[sink].columns), sink
+        pd.testing.assert_frame_equal(t_sp[sink], t_ps[sink], check_dtype=False)
+
+
+def test_single_pass_drop_fields_invisible_and_partitioned(spark, transcripts, tmp_path):
+    import os
+
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=str(tmp_path / "wh"),
+        tool_dim=default_tool_dim(spark),
+    )
+    assert cfg.write_mode == "single_pass"  # the default
+    pipe = IngestPipeline(spark, cfg)
+    pipe.run(transcripts, batch_id="b")
+    dropped = {r.sink_table: set(r.drop_fields)
+               for r in cfg.schema_rules if r.drop_fields}
+    assert dropped, "presets should exercise drop_fields"
+    for sink, drops in dropped.items():
+        cols = set(pipe.catalog.table(sink).read(spark).columns)
+        assert not (cols & drops), f"{sink} leaked {cols & drops}"
+    # hive partition dirs exist per sink under the single batch dir
+    snap = pipe.catalog.table("sink_errors").current_snapshot()
+    (ddir,) = snap["data_dirs"]
+    assert "_sink=sink_errors" in ddir
+    assert any(d.startswith("_p=") for d in os.listdir(ddir))
+    # hour-partitioned (presets): _p format yyyy-MM-dd-HH
+    p_dirs = [d for d in os.listdir(ddir) if d.startswith("_p=")]
+    assert all(len(d.split("=")[1]) == 13 for d in p_dirs)
