@@ -117,6 +117,57 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema JSON ingest end to end, value-checked: a
+    CloudTrail-shaped multi-record fixture (Records[] batches,
+    mirroring /root/reference/pkg/usecase/load_test.go:54-130 and
+    testdata/policy/schema.rego) is derived DETERMINISTICALLY from the
+    events table, written as JSON objects, then pushed through the
+    full JsonIngest path — event routing, Records explode, nil-strip,
+    bounded-sample schema inference + coverage check, rfc3339
+    timestamps, id extraction, icepack append — and the landed table
+    is compared field-by-field against plain SQL over events."""
+    import tempfile
+
+    from swarm_spark.pipeline_json import JsonIngest, JsonSchemaRule
+    from swarm_spark.rules import EventRule
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rec = F.struct(
+        F.col("event_id").cast("string").alias("eventID"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("eventTime"),
+        F.col("event_type").alias("eventName"),
+        F.struct(F.col("user_id").alias("userName")).alias("userIdentity"),
+        # sometimes-present field: exercises inference coverage; null
+        # is dropped by to_json, so ~6/7 of records lack the key
+        F.when(F.col("event_id") % 7 == 0, F.col("value")).alias("optValue"),
+    )
+    docs = (
+        ev.select((F.col("event_id") % 16).alias("g"), rec.alias("r"))
+        .groupBy("g")
+        .agg(F.to_json(F.struct(
+            F.sort_array(F.collect_list("r")).alias("Records")
+        )).alias("value"))
+    )
+    fx = tempfile.mkdtemp(prefix="swarm_ct_fx_")
+    docs.select("value").coalesce(4).write.mode("overwrite").text(fx)
+    ing = JsonIngest(
+        spark, tempfile.mkdtemp(prefix="swarm_ct_wh_"),
+        [EventRule("ct", "path", "contains", "swarm_ct_fx_", "cloudtrail")],
+        [JsonSchemaRule("cloudtrail", sink_table="ct_logs",
+                        ts_path="$.eventTime", ts_format="rfc3339",
+                        id_path="$.eventID")],
+    )
+    ing.run(fx, batch_id="ct-demo")
+    t = ing.catalog.table("ct_logs").read(spark)
+    return t.select(
+        "id", "timestamp",
+        F.col("data.eventName").alias("event_name"),
+        F.col("data.userIdentity.userName").alias("user_name"),
+        F.col("data.optValue").alias("opt_value"),
+    )
+
+
 def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star ordering window: row_number over (conv_id, turn_idx)."""
     t = transcripts_from_events(spark, sf_dir)
@@ -599,6 +650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "grok_extract": q_grok_extract,
     "lineage": q_lineage,
+    "json_ingest": q_json_ingest,
     "parse_extract": q_parse_extract,
     "turn_ordering": q_turn_ordering,
     "pipeline_route": q_pipeline_route,
@@ -840,6 +892,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE 10 * inter >= 8 * (na + nb - inter)
         """,
         "simhash_pairs": _simhash_oracle(3),
+        "json_ingest": """
+            SELECT CAST(event_id AS VARCHAR) AS id,
+                   ts AS "timestamp",
+                   event_type AS event_name,
+                   user_id AS user_name,
+                   CASE WHEN event_id % 7 = 0 THEN value END AS opt_value
+            FROM events
+        """,
         "cosine_topk": _cosq_oracle(0, 10),
         "ann_ivf": _cosq_oracle(1, 10),
         "embedding_dups": """

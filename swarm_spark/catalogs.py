@@ -1,0 +1,214 @@
+"""Spark-catalog implementations of the icepack Catalog/Table protocol.
+
+`IcepackCatalog` (tablestore.py) is the self-contained default for
+containers without table-format jars. This module provides the
+PRODUCTION binding: the same small protocol the pipeline depends on
+(`table(name)` → `.append(df, partition_unit, ts_col) -> snapshot
+dict`, `.read(spark)`, `.exists()`, `.schema()`) implemented over the
+Spark SQL catalog API, so a cluster with Iceberg configured
+
+    spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.lake.type = hive|hadoop|rest
+
+gets real Iceberg tables (snapshot isolation, time travel, schema
+evolution, hidden partitioning) with NO pipeline code changes:
+
+    IngestPipeline(spark, cfg, catalog=IcebergCatalog(spark, "lake.db"))
+
+On the default `spark_catalog` the same code works against managed
+parquet tables (used by the unit tests), minus snapshot metadata —
+`snapshot_id` is -1 there and time travel raises.
+
+Partition transforms map to the catalog's own mechanism: Iceberg's
+hours()/days()/months()/years() hidden transforms (no _p column at
+all — the engine prunes on the transform), the exact analogue of
+icepack's `_p` hive column.
+
+Reference parity: the committed-table contract of swarm's BigQuery
+client (/root/reference/pkg/infra/bq/client.go:126-266) — create or
+evolve, atomic visible commit, per-append row accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TRANSFORM = {"hour": "hours", "day": "days", "month": "months", "year": "years"}
+
+
+class SparkCatalogTable:
+    def __init__(self, spark: SparkSession, qualified: str, fmt: str = ""):
+        self.spark = spark
+        self.qualified = qualified
+        self.name = qualified.rsplit(".", 1)[-1]
+        self.fmt = fmt  # '' → catalog default (iceberg for an Iceberg catalog)
+
+    # -- protocol ------------------------------------------------------
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.qualified)
+
+    def schema(self) -> T.StructType | None:
+        if not self.exists():
+            return None
+        return self.spark.table(self.qualified).schema
+
+    def _is_iceberg(self) -> bool:
+        try:
+            self.spark.table(f"{self.qualified}.snapshots").limit(0)
+            return True
+        except Exception:
+            return False
+
+    def current_snapshot_id(self) -> int:
+        """Iceberg: newest snapshot id from the metadata table; plain
+        catalogs have no snapshot log → -1."""
+        try:
+            row = (
+                self.spark.table(f"{self.qualified}.snapshots")
+                .orderBy(F.desc("committed_at"))
+                .select("snapshot_id")
+                .first()
+            )
+            return int(row["snapshot_id"]) if row else -1
+        except Exception:
+            return -1
+
+    def append(self, df: DataFrame, partition_unit: str = "",
+               ts_col: str = "timestamp") -> dict:
+        """Create-or-append with union-by-name evolution. Row count
+        rides the write as an Observation (single pass)."""
+        obs = Observation(f"rows-{self.name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        # V1 file formats (parquet/orc/...) on spark_catalog don't
+        # accept DataFrameWriterV2 appends — use the V1 writer there;
+        # Iceberg/catalog-default goes through writeTo (V2)
+        v1 = self.fmt in ("parquet", "orc", "json", "csv")
+        if not self.exists():
+            if v1:
+                w = df.write.format(self.fmt)
+                if partition_unit:
+                    # V1 has no hidden transforms; materialize a _p
+                    # column like icepack
+                    from .tablestore import _PART_FMT
+
+                    df_p = df.withColumn(
+                        "_p", F.date_format(F.col(ts_col), _PART_FMT[partition_unit])
+                    )
+                    df_p.write.format(self.fmt).partitionBy("_p") \
+                        .saveAsTable(self.qualified)
+                else:
+                    w.saveAsTable(self.qualified)
+            else:
+                writer = df.writeTo(self.qualified)
+                if self.fmt:
+                    writer = writer.using(self.fmt)
+                if partition_unit:
+                    writer = writer.partitionedBy(
+                        getattr(F, _TRANSFORM[partition_unit])(F.col(ts_col))
+                    )
+                writer.create()
+        else:
+            live = self.spark.table(self.qualified).schema
+            live_names = {f.name for f in live.fields}
+            extra = [f.name for f in df.schema.fields if f.name not in live_names]
+            if extra:
+                if not self._is_iceberg():
+                    raise ValueError(
+                        f"schema evolution ({extra}) requires an Iceberg "
+                        f"catalog; plain Spark catalogs cannot ALTER "
+                        f"managed-table schemas safely"
+                    )
+                # Iceberg schema evolution: add new columns, then append
+                for f_ in df.schema.fields:
+                    if f_.name in extra:
+                        self.spark.sql(
+                            f"ALTER TABLE {self.qualified} ADD COLUMN "
+                            f"{f_.name} {f_.dataType.simpleString()}"
+                        )
+                live = self.spark.table(self.qualified).schema
+            # align to live order; unknown-to-df columns → null
+            cols = [
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in live.fields
+            ]
+            aligned = df.select(*cols)
+            if "_p" in {f.name for f in live.fields} and "_p" not in df.columns \
+                    and partition_unit:
+                from .tablestore import _PART_FMT
+
+                aligned = df.withColumn(
+                    "_p", F.date_format(F.col(ts_col), _PART_FMT[partition_unit])
+                ).select(*[f.name for f in live.fields])
+            if v1:
+                aligned.write.mode("append").format(self.fmt) \
+                    .saveAsTable(self.qualified)
+            else:
+                aligned.writeTo(self.qualified).append()
+        return {
+            "snapshot_id": self.current_snapshot_id(),
+            "added_rows": int(obs.get["n"]),
+            "op": "append",
+        }
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id is not None:
+            # Iceberg time travel (VERSION AS OF); plain catalogs raise
+            return spark.read.option("snapshot-id", snapshot_id).table(self.qualified)
+        return spark.table(self.qualified)
+
+    def rollback(self, snapshot_id: int) -> bool:
+        """Iceberg rollback via the system procedure; unsupported on
+        plain catalogs (returns False → caller falls back to
+        manifest resume-skip, same as icepack under contention)."""
+        cat = self.qualified.split(".", 1)[0]
+        try:
+            self.spark.sql(
+                f"CALL {cat}.system.rollback_to_snapshot"
+                f"('{self.qualified}', {snapshot_id})"
+            )
+            return True
+        except Exception:
+            return False
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        cat = self.qualified.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {cat}.system.expire_snapshots(table => '{self.qualified}', "
+            f"retain_last => {keep_last})"
+        )
+        return {"expired": -1, "data_dirs_removed": -1}
+
+    def snapshots(self) -> list[dict]:
+        try:
+            return [
+                {"snapshot_id": int(r["snapshot_id"]),
+                 "op": r["operation"], "committed_at": r["committed_at"]}
+                for r in self.spark.table(f"{self.qualified}.snapshots")
+                .orderBy("committed_at").collect()
+            ]
+        except Exception:
+            return []
+
+
+class IcebergCatalog:
+    """Catalog protocol over a Spark SQL catalog namespace. Pass
+    namespace='lake.db' for an Iceberg catalog named 'lake' (fmt
+    defaults to the catalog's provider), or a spark_catalog database
+    with fmt='parquet' for jar-less environments/tests."""
+
+    def __init__(self, spark: SparkSession, namespace: str, fmt: str = ""):
+        self.spark = spark
+        self.namespace = namespace
+        self.fmt = fmt
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {namespace}")
+
+    def table(self, name: str) -> SparkCatalogTable:
+        return SparkCatalogTable(self.spark, f"{self.namespace}.{name}", self.fmt)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            t.name for t in self.spark.catalog.listTables(self.namespace)
+        )

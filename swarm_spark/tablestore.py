@@ -26,9 +26,11 @@ mirrors the Iceberg behaviors the north_rule depends on:
   and operation — the audit/resume substrate (north_rule "resumable
   from Iceberg snapshot/checkpoint state").
 
-When real Iceberg jars are on the classpath, `IcebergCatalog` (same
-interface, `spark.table`/`writeTo`) can replace this; the pipeline
-depends only on the small Catalog/Table protocol below.
+When real Iceberg jars are on the classpath,
+swarm_spark.catalogs.IcebergCatalog implements the SAME Catalog/Table
+protocol over the Spark SQL catalog API (writeTo/spark.table, hidden
+partition transforms, snapshot procedures) — the pipeline depends only
+on the small protocol below, so swapping is a constructor argument.
 """
 
 from __future__ import annotations

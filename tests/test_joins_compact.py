@@ -223,3 +223,89 @@ class TestStopShingleGuard:
                                                     max_doc_ratio=0.5).collect()}
         assert (100, 101) in guarded2
         assert guarded2[(100, 101)] == plain2[(100, 101)]  # exact score kept
+
+
+class TestSaltedJoins:
+    """Skew variants (VERDICT r1 #8): one hot `by` key owning half the
+    rows must neither change results nor hinge on a single window
+    partition."""
+
+    def test_asof_salted_equals_unsalted_under_skew(self, spark):
+        import random
+
+        from swarm_spark.operators.joins import asof_join, asof_join_salted
+
+        rng = random.Random(7)
+        base = dt.datetime(2026, 1, 1)
+        lrows, rrows = [], []
+        for i in range(4000):
+            # hot user owns 50% of rows
+            u = "hot" if i % 2 == 0 else f"u{rng.randrange(50)}"
+            lrows.append((u, i, base + dt.timedelta(seconds=rng.randrange(400000))))
+        for j in range(300):
+            u = "hot" if j % 2 == 0 else f"u{rng.randrange(50)}"
+            rrows.append((u, f"v{j}", base + dt.timedelta(seconds=rng.randrange(400000))))
+        left = spark.createDataFrame(lrows, "k string, eid int, ts timestamp")
+        right = spark.createDataFrame(rrows, "k string, ver string, vts timestamp")
+
+        plain = {r.eid: r.ver for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="vts",
+            value_cols=["ver"]).collect()}
+        salted = {r.eid: r.ver for r in asof_join_salted(
+            left, right, by="k", left_ts="ts", right_ts="vts",
+            value_cols=["ver"], chunk_seconds=3600).collect()}
+        assert salted == plain
+
+    def test_asof_salted_window_partitions_by_chunk(self, spark):
+        from swarm_spark.operators.joins import asof_join_salted
+        from swarm_spark.plans.skew import physical_plan
+
+        left = spark.createDataFrame([("a", 1, ts("2026-01-01T10:00"))],
+                                     "k string, eid int, ts timestamp")
+        right = spark.createDataFrame([("a", "v", ts("2026-01-01T09:00"))],
+                                      "k string, ver string, vts timestamp")
+        plan = physical_plan(asof_join_salted(
+            left, right, by="k", left_ts="ts", right_ts="vts", value_cols=["ver"]))
+        # the big carry window must be keyed by (k, _c) — bounded
+        # partitions — not by k alone
+        assert "_c" in plan
+
+    def test_asof_salted_carry_across_empty_chunks(self, spark):
+        from swarm_spark.operators.joins import asof_join_salted
+
+        left = spark.createDataFrame(
+            [("a", 1, ts("2026-01-03T10:00"))],  # days after the right row
+            "k string, eid int, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("a", "old", ts("2026-01-01T00:30"))],
+            "k string, ver string, vts timestamp",
+        )
+        (row,) = asof_join_salted(left, right, by="k", left_ts="ts",
+                                  right_ts="vts", value_cols=["ver"],
+                                  chunk_seconds=3600).collect()
+        assert row.ver == "old"
+
+    def test_range_join_salted_equals_unsalted(self, spark):
+        import random
+
+        from swarm_spark.operators.joins import range_join_bucketed
+
+        rng = random.Random(11)
+        lrows = [("hot" if i % 2 == 0 else f"u{rng.randrange(20)}",
+                  i, float(rng.randrange(1000))) for i in range(3000)]
+        rrows = [("hot" if j % 3 == 0 else f"u{rng.randrange(20)}",
+                  j, float(rng.randrange(950)), float(rng.randrange(10, 60)))
+                 for j in range(200)]
+        left = spark.createDataFrame(lrows, "k string, lid int, v double")
+        right = spark.createDataFrame(
+            [(k, j, lo, lo + w) for k, j, lo, w in rrows],
+            "k string, rid int, lo double, hi double",
+        )
+        kw = dict(left_point="v", right_lo="lo", right_hi="hi",
+                  bucket_width=50.0, by="k")
+        plain = {(r.lid, r.rid) for r in
+                 range_join_bucketed(left, right, **kw).collect()}
+        salted = {(r.lid, r.rid) for r in
+                  range_join_bucketed(left, right, salt=8, **kw).collect()}
+        assert salted == plain and len(plain) > 0

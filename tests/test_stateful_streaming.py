@@ -63,3 +63,63 @@ def test_state_accumulates_and_survives_restart(spark, tmp_path):
     assert got2["c1"].max_turn_idx == 2
     assert got2["c3"].turns_total == 1
     assert "c2" not in got2                      # untouched → no emission
+
+
+def test_event_time_timeout_closes_and_gcs_state(spark, tmp_path):
+    """Conversation idle past watermark+timeout emits one final
+    closed=true row and its state is REMOVED (bounded state store)."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 10, 0)
+
+    def run(out_dir):
+        from swarm_spark.streaming.ingest import stream_transcripts
+        from swarm_spark.streaming.stateful import conversation_progress
+
+        stream = stream_transcripts(spark, src, max_files_per_trigger=1) \
+            .withWatermark("ts", "10 minutes")
+        prog = conversation_progress(stream, idle_timeout_minutes=30)
+        q = (
+            prog.writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: df.write.mode("append").parquet(out_dir))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: conv A active at 10:00
+    _write_batch(spark, src, [("A", 0, "user", "hello", None, t0)])
+    # batch 2: conv B hours later -> watermark jumps past A's timeout
+    _write_batch(spark, src, [
+        ("B", 0, "user", "late ERR-0001",
+         None, t0 + dt.timedelta(hours=6)),
+    ])
+    # batch 3: another advance so the timeout actually FIRES (timeouts
+    # trigger at the start of a batch after the watermark moved)
+    _write_batch(spark, src, [
+        ("B", 1, "assistant", "x", None, t0 + dt.timedelta(hours=7)),
+    ])
+    out = str(tmp_path / "out")
+    run(out)
+
+    import pandas as pd
+
+    pdf = spark.read.parquet(out).toPandas()
+    a_rows = pdf[pdf.conv_id == "A"].sort_values("closed")
+    assert list(a_rows.closed) == [False, True]  # active row, then GC row
+    closed = a_rows[a_rows.closed].iloc[0]
+    assert closed.turns_total == 1 and closed.max_turn_idx == 0
+    # B stays open
+    assert not pdf[(pdf.conv_id == "B") & pdf.closed].shape[0]
+
+    # batch 4: conv A reappears AFTER GC -> counters restart from zero
+    _write_batch(spark, src, [
+        ("A", 5, "user", "back", None, t0 + dt.timedelta(hours=8)),
+    ])
+    out2 = str(tmp_path / "out2")
+    run(out2)
+    pdf2 = spark.read.parquet(out2).toPandas()
+    re_a = pdf2[(pdf2.conv_id == "A") & ~pdf2.closed].iloc[0]
+    assert re_a.turns_total == 1 and re_a.max_turn_idx == 5  # state was gone
