@@ -17,7 +17,11 @@ evolution, hidden partitioning) with NO pipeline code changes:
 
 On the default `spark_catalog` the same code works against managed
 parquet tables (used by the unit tests), minus snapshot metadata —
-`snapshot_id` is -1 there and time travel raises.
+`snapshot_id` is -1 there, time travel raises, and the pipeline's
+partial-failure RESUME-SKIP degrades (it needs a snapshot log to
+recognize a failed attempt's commits; the manifest completed/failed
+gate itself is catalog-independent and still enforces batch-level
+exactly-once).
 
 Partition transforms map to the catalog's own mechanism: Iceberg's
 hours()/days()/months()/years() hidden transforms (no _p column at

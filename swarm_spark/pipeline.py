@@ -7,7 +7,8 @@ driver-side fan-out loop for the per-sink writes:
     transcripts ──(window: stable turn order)──(regexp extract: JVM)──
       ──(event rules → schema_name explode)──(⋈ broadcast schema_rules)──
       ──(⋈ broadcast tool_dim)──(envelope: id/ts/ingest_id)── routed
-    routed ──persist──┬── per-sink filter → icepack append   (×N sinks)
+    routed ──persist──┬── ONE partitionBy(_sink,_p) write job →
+                      │     per-sink snapshot ADOPTION (metadata commits)
                       ├── groupBy(sink, role, tool, hour).count → agg table
                       └── audit LoadLog row
 
@@ -19,10 +20,12 @@ Scale notes (10^12 turns):
     (low-cardinality keys, map-side partial agg + AQE).
   * `assume_ordered=True` removes the window entirely when the source
     guarantees unique turn_idx per conv (Iceberg sort order at write).
-  * Per-sink writes reuse ONE persisted routed DF — the shuffle/parse
-    work is paid once regardless of sink count, mirroring swarm's
-    single parse + per-dest worker pool (load.go:96-121) without
-    re-reading the source.
+  * The multi-sink fan-out is ONE write job (write_mode='single_pass'):
+    every sink's rows stage under one partitionBy(_sink, _p) output,
+    adopted per-sink as snapshots — sink count costs metadata commits,
+    not Spark jobs. This mirrors swarm's single parse + per-dest
+    worker pool (load.go:96-121) without re-reading the source; the
+    N-filtered-writes path survives as write_mode='per_sink' for A/B.
 """
 
 from __future__ import annotations
@@ -113,10 +116,22 @@ class LoadResult:
 
 
 class IngestPipeline:
-    def __init__(self, spark: SparkSession, config: PipelineConfig):
+    def __init__(self, spark: SparkSession, config: PipelineConfig,
+                 catalog=None):
         self.spark = spark
         self.config = config
-        self.catalog = IcepackCatalog(config.warehouse)
+        # any Catalog-protocol object works (catalogs.IcebergCatalog for
+        # a real Spark/Iceberg catalog); icepack is the jar-less default.
+        # Catalogs without adopt_dir (no directory adoption concept)
+        # require write_mode='per_sink'.
+        self.catalog = catalog if catalog is not None else IcepackCatalog(config.warehouse)
+        if config.write_mode == "single_pass" and not getattr(
+            self.catalog, "supports_adopt", False
+        ):
+            raise ValueError(
+                "write_mode='single_pass' needs a catalog with directory "
+                "adoption (icepack); use write_mode='per_sink' with this one"
+            )
         self.manifest = ManifestStore(config.manifest_dir)
 
     # ------------------------------------------------------------------
@@ -270,10 +285,16 @@ class IngestPipeline:
 
         # explicit-count repartition on (_sink, _p): file creation stays
         # parallel across the task width AND one file per hive partition
-        # (see tablestore._write_data for the two failure modes)
+        # (see tablestore._write_data for the two failure modes).
+        # sortWithinPartitions(conv_id, turn_idx): files land
+        # conversation-clustered and turn-ordered — better RLE/dict
+        # compression and the physical precondition for readers that
+        # run with assume_ordered=True (Iceberg sort-order analogue).
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         batch_dir = os.path.join(cfg.warehouse, "_batch", request_id)
+        sort_cols = [c for c in ("conv_id", "turn_idx") if c in staged.columns]
         (staged.repartition(n, F.col("_sink"), F.col("_p"))
+         .sortWithinPartitions("_sink", "_p", *sort_cols)
          .write.mode("overwrite").partitionBy("_sink", "_p").parquet(batch_dir))
 
         vals = obs_w.get

@@ -221,7 +221,12 @@ class IcepackTable:
         return True
 
     def _write_data(self, df: DataFrame, partition_unit: str, ts_col: str) -> tuple[str, int]:
-        ddir = os.path.join(self.data, f"s-{uuid.uuid4().hex}")
+        # `_s=<uuid>` — the snapshot dir is ITSELF a hive partition
+        # level, so every data dir of a table shares one uniform
+        # key=value layout under data/ and read() can load ALL dirs as
+        # ONE partitioned relation (basePath=data): flat plan depth,
+        # partition pruning on _p intact, `_s` dropped after read.
+        ddir = os.path.join(self.data, f"_s={uuid.uuid4().hex}")
         if partition_unit:
             df = df.withColumn("_p", F.date_format(F.col(ts_col), _PART_FMT[partition_unit]))
             # Shuffle on _p before the partitioned write. Two failure
@@ -295,7 +300,22 @@ class IcepackTable:
         extra columns (e.g. per-sink dropped fields written as nulls);
         read() projects to the recorded schema so they stay invisible.
         ddir=None (or added_rows==0 with no dir) commits an empty
-        append, keeping per-batch lineage rows consistent."""
+        append, keeping per-batch lineage rows consistent.
+
+        The directory is MOVED (atomic same-fs rename) under the
+        table's data/ root as `_s=<uuid>` so all of a table's dirs
+        keep the uniform hive layout the single-relation read needs;
+        on an object store this is the manifest-pointer equivalent."""
+        if ddir is not None:
+            dst = os.path.join(self.data, f"_s={uuid.uuid4().hex}")
+            if os.path.abspath(os.path.dirname(ddir)) != os.path.abspath(self.data):
+                import shutil
+
+                try:
+                    os.rename(ddir, dst)
+                except OSError:
+                    shutil.move(ddir, dst)
+                ddir = dst
         return self._append_snapshot(ddir, added_rows, schema, partition_unit, ts_col)
 
     def overwrite(self, df: DataFrame, partition_unit: str = "",
@@ -421,17 +441,23 @@ class IcepackTable:
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         if not snap["data_dirs"]:  # empty-append-only table
             return spark.createDataFrame([], schema)
-        # ONE multi-path parquet relation over all data dirs — plan
+        # ONE partitioned parquet relation over all data dirs — plan
         # depth stays flat no matter how many snapshots the table has
         # (manifest-file planning: the snapshot's cumulative dir list
-        # IS the manifest). Each input path acts as its own base path,
-        # so per-dir hive `_p` partitions are still discovered and
-        # prunable; mergeSchema resolves evolution across dirs
+        # IS the manifest). Dirs are named `_s=<uuid>`, so with
+        # basePath=data/ partition discovery sees uniform (_s[, _p])
+        # levels: `_p` pruning works across every snapshot in one
+        # scan, `_s` is dropped below. mergeSchema resolves evolution
         # (missing columns → null). Fallback to per-dir unionByName
-        # only for mixed partitioned/unpartitioned dir sets, which
-        # Spark's partition discovery rejects.
+        # covers legacy layouts / mixed partition depths.
         try:
-            df = spark.read.option("mergeSchema", "true").parquet(*snap["data_dirs"])
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", self.data)
+                .parquet(*snap["data_dirs"])
+            )
+            if "_s" in df.columns:
+                df = df.drop("_s")
         except Exception:
             parts = [
                 spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
@@ -462,6 +488,8 @@ class IcepackTable:
 
 class IcepackCatalog:
     """Directory-of-tables catalog ≙ a BigQuery dataset / Iceberg namespace."""
+
+    supports_adopt = True  # adopt_dir available → single-pass write OK
 
     def __init__(self, root: str):
         self.root = root

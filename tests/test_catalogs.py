@@ -65,3 +65,52 @@ def test_protocol_matches_icepack(spark):
                    "expire_snapshots"):
         assert hasattr(IcepackTable, method)
         assert hasattr(SparkCatalogTable, method)
+
+
+def test_pipeline_runs_on_spark_catalog(spark, tmp_path, request):
+    """The pipeline really is catalog-agnostic: full ingest over the
+    default spark_catalog (managed parquet tables) in per_sink mode."""
+    from swarm_spark.datagen import generate_transcripts
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+
+    ns = f"wh_{tmp_path.name.replace('-', '_')}"
+    cat = IcebergCatalog(spark, ns, fmt="parquet")
+    request.addfinalizer(
+        lambda: spark.sql(f"DROP DATABASE IF EXISTS {ns} CASCADE"))
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=str(tmp_path / "manifest_only"),
+        tool_dim=default_tool_dim(spark),
+        write_mode="per_sink",
+    )
+    pipe = IngestPipeline(spark, cfg, catalog=cat)
+    t = generate_transcripts(spark, 400, n_convs=10, seed=3)
+    res = pipe.run(t, batch_id="b")
+    assert not res.skipped and res.routed_rows > 0
+    for sink, n in res.per_sink_rows.items():
+        assert cat.table(sink).read(spark).count() == n
+    # the exactly-once gate still holds (manifest is catalog-independent)
+    res2 = pipe.run(t, batch_id="b")
+    assert res2.skipped
+
+
+def test_single_pass_requires_adoption_capable_catalog(spark, tmp_path):
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import default_event_rules, default_schema_rules
+
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=str(tmp_path / "wh"),
+    )
+    cat = IcebergCatalog(spark, f"nosp_{tmp_path.name.replace('-', '_')}",
+                         fmt="parquet")
+    with pytest.raises(ValueError, match="single_pass"):
+        IngestPipeline(spark, cfg, catalog=cat)
+    spark.sql(f"DROP DATABASE IF EXISTS {cat.namespace} CASCADE")

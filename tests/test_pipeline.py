@@ -257,10 +257,12 @@ def test_single_pass_drop_fields_invisible_and_partitioned(spark, transcripts, t
     for sink, drops in dropped.items():
         cols = set(pipe.catalog.table(sink).read(spark).columns)
         assert not (cols & drops), f"{sink} leaked {cols & drops}"
-    # hive partition dirs exist per sink under the single batch dir
-    snap = pipe.catalog.table("sink_errors").current_snapshot()
+    # the staged _sink=... dir was ADOPTED (moved) under the table's
+    # own data/ root as a `_s=` partition level
+    t = pipe.catalog.table("sink_errors")
+    snap = t.current_snapshot()
     (ddir,) = snap["data_dirs"]
-    assert "_sink=sink_errors" in ddir
+    assert os.path.dirname(ddir) == t.data and "_s=" in os.path.basename(ddir)
     assert any(d.startswith("_p=") for d in os.listdir(ddir))
     # hour-partitioned (presets): _p format yyyy-MM-dd-HH
     p_dirs = [d for d in os.listdir(ddir) if d.startswith("_p=")]

@@ -113,3 +113,51 @@ class TestIcepackTable:
         os.makedirs(orphan)
         spark.createDataFrame([(99,)], "a bigint").write.parquet(orphan, mode="overwrite")
         assert t.read(spark).count() == 1  # orphan invisible
+
+
+class TestManifestPlanning:
+    def test_many_snapshots_flat_plan(self, spark, tmp_path):
+        """50 appends: read() must stay ONE parquet relation (no Union
+        tower — plan depth flat in snapshot count) with unchanged
+        results and working time travel."""
+        from swarm_spark.plans.skew import physical_plan
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("many")
+        for i in range(50):
+            t.append(spark.createDataFrame([(i,)], "v int"))
+        df = t.read(spark)
+        plan = physical_plan(df)
+        assert "Union" not in plan, plan[:2000]
+        # formatted explain names each node twice (tree + detail):
+        # exactly one scan node → exactly two mentions
+        assert plan.count("Scan parquet") == 2
+        assert sorted(r.v for r in df.collect()) == list(range(50))
+        assert t.current_snapshot()["row_count"] == 50
+        # time travel to snapshot 10 → first 10 rows only
+        old = t.read(spark, snapshot_id=10)
+        assert sorted(r.v for r in old.collect()) == list(range(10))
+
+    def test_flat_plan_with_evolution_and_partitions(self, spark, tmp_path):
+        import datetime as dt
+
+        from swarm_spark.plans.skew import physical_plan
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("evo")
+        ts = dt.datetime(2026, 1, 1, 10)
+        t.append(spark.createDataFrame([(1, ts)], "a int, timestamp timestamp"),
+                 partition_unit="hour")
+        t.append(spark.createDataFrame(
+            [(2, ts + dt.timedelta(hours=1), "x")],
+            "a int, timestamp timestamp, b string"))
+        df = t.read(spark)
+        plan = physical_plan(df)
+        assert plan.count("Scan parquet") == 2 and "Union" not in plan
+        rows = {r.a: r.b for r in df.collect()}
+        assert rows == {1: None, 2: "x"}  # evolution: missing col → null
+        # partition pruning still applies across multi-dir read
+        pruned = t.read(spark, ts_between=("2026-01-01T11:00", "2026-01-01T12:00"))
+        assert [r.a for r in pruned.collect()] == [2]
