@@ -559,7 +559,9 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swarm_spark.operators.textstats import quality_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    survivors = dedup_exact(docs)
+    # survivors feeds three consumers (pair gen inside jaccard, the
+    # anti-join, the quality gate) — persist the narrow projection once
+    survivors = dedup_exact(docs).persist()
     losers = (
         jaccard_pairs_inverted(survivors, k=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))

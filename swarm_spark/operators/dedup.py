@@ -222,20 +222,28 @@ def simhash64(col, hash_fn: str = "xxhash64") -> F.Column:
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
-    def bit_vote(mask: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1
-        ).otherwise(-1)
-
-    bits = []
-    for i in range(n_bits):
-        mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit in a JVM long
-        vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(mask))
-        bits.append(F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    # ONE aggregate with an array-of-votes accumulator. The naive form
+    # (one aggregate per bit) references the token-hash transform in
+    # every lambda and Catalyst RE-INLINES it — the hash runs n_bits×
+    # per token (measured 40 s for 5k docs on md5w60; ~2 s this way).
+    masks = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")  # bit 63 = JVM sign bit
+        for i in range(n_bits)
+    ])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            masks, acc,
+            lambda m, a: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(masks, votes,
+                   lambda m, v: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
 
 
 def simhash_pairs(
@@ -325,6 +333,7 @@ def jaccard_pairs_inverted(
     threshold: float = 0.2,
     max_doc_ratio: float | None | str = "auto",
     guard_min_docs: int = 100_000,
+    persist_base: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard for every pair sharing ≥1 shingle, via an
     inverted-index join: explode shingles → equi-join on shingle →
@@ -343,6 +352,13 @@ def jaccard_pairs_inverted(
         F.col(id_col).alias("_id"),
         shingles(text_col, k).alias("_sh"),
     ).withColumn("_n", F.size("_sh"))
+    if persist_base:
+        # the self-join evaluates its source on BOTH aliases — without
+        # this, tokenization+shingling (the expensive expression) runs
+        # 2-3×; measured 26 s → 5 s on 5k docs at sf0.1
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     ex = base.select("_id", "_n", F.explode("_sh").alias("_s"))
 
     if max_doc_ratio == "auto":
