@@ -610,6 +610,58 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "click_id", "purchase_id")
 
 
+def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe as-of join (chunked prefix-carry) under a PLANTED hot
+    key: user_id % 3 collapses 150 users onto 3 — one key owns a third
+    of all rows — and the result must still match DuckDB's ASOF JOIN
+    exactly (same oracle construction as asof_join, hot input)."""
+    from swarm_spark.operators.joins import asof_join_salted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "uid", (F.col("user_id") % 3).cast("long")
+    )
+    left = ev.select("uid", "event_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("uid", F.col("event_id").alias("signup_id"), F.col("ts").alias("sts"))
+    )
+    out = asof_join_salted(left, right, by="uid", left_ts="ts", right_ts="sts",
+                           value_cols=["signup_id"], chunk_seconds=86400)
+    return out.select("uid", "event_id", "signup_id")
+
+
+def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash dedup: the kept-document set after dropping
+    the larger id of every verified J>=0.8 pair — the SQL oracle
+    recomputes the exact pair set and anti-joins identically."""
+    from swarm_spark.operators.dedup import dedup_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_minhash(docs, threshold=0.8, num_hashes=64, bands=16) \
+        .select("doc_id", "lang", "source")
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth over events: lead/lag, rank families,
+    ntile, running sums, moving average — one query, one oracle."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    wm = w.rowsBetween(-2, 0)
+    return ev.select(
+        "user_id", "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.sum("value").over(wr), 4).alias("running_value"),
+        F.round(F.avg("value").over(wm), 4).alias("mavg3"),
+        F.rank().over(Window.partitionBy("user_id").orderBy(F.desc("value"))).alias("value_rank"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas features.
     Media derive deterministically from documents (payload = utf-8
@@ -653,6 +705,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grok_extract": q_grok_extract,
     "lineage": q_lineage,
     "json_ingest": q_json_ingest,
+    "asof_salted": q_asof_salted,
+    "dedup_minhash_keep": q_dedup_minhash_keep,
+    "window_suite": q_window_suite,
     "parse_extract": q_parse_extract,
     "turn_ordering": q_turn_ordering,
     "pipeline_route": q_pipeline_route,
@@ -894,6 +949,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE 10 * inter >= 8 * (na + nb - inter)
         """,
         "simhash_pairs": _simhash_oracle(3),
+        "asof_salted": """
+            WITH ev AS (SELECT event_id, ts, user_id % 3 AS uid, event_type
+                        FROM events)
+            SELECT l.uid, l.event_id, r.event_id AS signup_id
+            FROM ev l
+            ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') r
+              ON l.uid = r.uid AND l.ts >= r.ts
+        """,
+        "dedup_minhash_keep": rf"""
+            WITH {_SHINGLES.strip()},
+            ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            losers AS (
+              SELECT DISTINCT id_b FROM pairs
+              WHERE 10 * inter >= 8 * (na + nb - inter))
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "window_suite": """
+            SELECT user_id, event_id,
+                   lag(event_id) OVER w AS prev_event,
+                   lead(event_id) OVER w AS next_event,
+                   CAST(row_number() OVER w AS INT) AS rn,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 4) AS running_value,
+                   round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING
+                                          AND CURRENT ROW), 4) AS mavg3,
+                   CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC)
+                        AS INT) AS value_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "json_ingest": """
             SELECT CAST(event_id AS VARCHAR) AS id,
                    ts AS "timestamp",

@@ -127,8 +127,10 @@ def asof_join_salted(
     unioned = l.select(*l_cols, "_t", "_side", "_payload").unionByName(
         r.select(*l_cols, "_t", "_side", "_payload")
     )
-    chunk = F.floor(F.unix_micros(F.col("_t")) / (chunk_seconds * 1_000_000)) \
-        .alias("_c")
+    # cast: inputs may be TIMESTAMP_NTZ (parquet); session tz is UTC
+    chunk = F.floor(
+        F.unix_micros(F.col("_t").cast("timestamp")) / (chunk_seconds * 1_000_000)
+    ).alias("_c")
     unioned = unioned.withColumn("_c", chunk)
 
     w_in = (
