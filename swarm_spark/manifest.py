@@ -112,6 +112,25 @@ class ManifestStore:
         self._put(cur)
         return cur, True
 
+    def wait(self, batch_id: str, poll_sec: float = 0.2,
+             timeout_sec: float | None = None) -> BatchState | None:
+        """Block until the batch leaves RUNNING (or its lease expires)
+        — model.WaitState (server.go:139-143): a push redelivery that
+        finds another worker mid-flight parks instead of racing it."""
+        deadline = None
+        if timeout_sec is not None:
+            deadline = time.time() + timeout_sec
+        while True:
+            st = self.get(batch_id)
+            if st is None or st.state != STATE_RUNNING:
+                return st
+            now = time.time()
+            if now >= st.expires_at:
+                return st
+            if deadline is not None and now >= deadline:
+                return st
+            time.sleep(poll_sec)
+
     def update(self, batch_id: str, state: str, snapshot_ids: dict | None = None) -> None:
         """running → completed|failed (client.go:82-91 call pattern,
         server.go:146-161)."""
