@@ -77,3 +77,40 @@ def run_backfill(ingest, batches: list[BackfillBatch]) -> list[dict]:
     for b in batches:
         results.append(ingest.run(",".join(b.paths), batch_id=b.batch_id))
     return results
+
+
+def publish_backfill(
+    batches: list[BackfillBatch],
+    host: str,
+    port: int,
+    headers: dict | None = None,
+    timeout_sec: float = 300.0,
+) -> list[tuple[str, int]]:
+    """Publish a backfill plan to an IngestServer push endpoint — the
+    `swarm enqueue` publish step (K5, pkg/usecase/enqueue.go:15-73:
+    object batches become Pub/Sub messages; here they become push
+    envelopes). messageId = batch_id, so the SERVER's per-message gate
+    and the INGEST's per-batch gate both dedup redeliveries; a
+    non-200 response leaves the batch for re-publish (at-least-once,
+    exactly-once effect).
+
+    Returns [(batch_id, http_status)]."""
+    import base64 as _b64
+    import http.client as _http
+    import json as _json
+
+    out: list[tuple[str, int]] = []
+    for b in batches:
+        note = {"path": ",".join(b.paths)}
+        env = {"message": {
+            "messageId": b.batch_id,
+            "data": _b64.b64encode(_json.dumps(note).encode()).decode(),
+        }}
+        conn = _http.HTTPConnection(host, port, timeout=timeout_sec)
+        try:
+            conn.request("POST", "/event/pubsub", body=_json.dumps(env),
+                         headers=headers or {})
+            out.append((b.batch_id, conn.getresponse().status))
+        finally:
+            conn.close()
+    return out

@@ -130,3 +130,38 @@ def test_auth_policy_gates_requests(spark, tmp_path):
         assert _get(srv.port, "/health")[0] == 403  # policy covers all paths
     finally:
         srv.stop()
+
+
+def test_enqueue_publish_roundtrip(spark, tmp_path):
+    """K5: plan_backfill → publish_backfill → push endpoint → ingest.
+    Every planned batch lands exactly once, and re-publishing the whole
+    plan is a no-op."""
+    from swarm_spark.backfill import plan_backfill, publish_backfill
+
+    src = tmp_path / "objs"
+    src.mkdir()
+    total = 0
+    for i in range(5):
+        with open(src / f"f{i}.log", "w") as fh:
+            for j in range(4):
+                fh.write(json.dumps({"log_id": f"d{i}-{j}",
+                                     "event_time": 10.0 + j}) + "\n")
+                total += 1
+
+    ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, RULES)
+    srv = IngestServer(
+        make_object_handler(ing),
+        ManifestStore(str(tmp_path / "mm")),
+    ).start()
+    try:
+        plan = plan_backfill(str(src), max_objects=2)
+        assert len(plan) == 3  # 5 files packed 2+2+1
+        res = publish_backfill(plan, "127.0.0.1", srv.port)
+        assert [s for _, s in res] == [200, 200, 200]
+        assert ing.catalog.table("logs").read(spark).count() == total
+        # re-publish: every message acks as already-completed
+        res2 = publish_backfill(plan, "127.0.0.1", srv.port)
+        assert [s for _, s in res2] == [200, 200, 200]
+        assert ing.catalog.table("logs").read(spark).count() == total
+    finally:
+        srv.stop()
