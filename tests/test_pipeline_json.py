@@ -284,3 +284,64 @@ class TestBoundedInference:
         for ln in src.splitlines():
             if re.search(r"\.rdd\.", ln):  # code usage, not prose
                 assert "limit(" in ln, f"unbounded rdd hop: {ln.strip()}"
+
+
+class TestJsonPartialFailure:
+    def test_failure_after_sink_commit_rolls_back(self, spark, tmp_path, monkeypatch):
+        """Sink committed, then the audit append fails → the sink
+        snapshot is rolled back; retry lands exactly one copy
+        (same contract as IngestPipeline — ADVICE r1 high)."""
+        from swarm_spark.tablestore import IcepackTable
+
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "x", "event_time": 1.0}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, RULES)
+
+        orig_append = IcepackTable.append
+
+        def boom(self, df, **kw):
+            if self.name == "_audit_json":
+                raise RuntimeError("audit exploded")
+            return orig_append(self, df, **kw)
+
+        monkeypatch.setattr(IcepackTable, "append", boom)
+        with pytest.raises(RuntimeError, match="audit exploded"):
+            ing.run(str(tmp_path / "a.log"), batch_id="pf")
+        monkeypatch.undo()
+
+        st = ing.manifest.get("pf")
+        assert st.state == "failed" and not st.snapshot_ids
+        assert not ing.catalog.table("logs").exists()  # rolled back
+
+        res = ing.run(str(tmp_path / "a.log"), batch_id="pf")
+        assert not res["skipped"]
+        assert ing.catalog.table("logs").read(spark).count() == 1
+
+
+class TestInferenceConvergence:
+    def test_many_key_cohorts_converge(self, spark, tmp_path):
+        """5 disjoint top-level key cohorts with sample_rows=1: the
+        coverage loop must pick each up within max_rounds and no field
+        may be silently lost."""
+        lines = [json.dumps({"log_id": f"r{i}", "event_time": float(i + 1),
+                             f"cohort_{i % 4}": i}) for i in range(8)]
+        _write(tmp_path / "a.log", "\n".join(lines))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, RULES,
+                         infer_sample_rows=2)
+        ing.run(str(tmp_path / "a.log"), batch_id="b")
+        t = ing.catalog.table("logs")
+        fields = {f.name for f in t.schema()["data"].dataType.fields}
+        assert {f"cohort_{i}" for i in range(4)} <= fields
+        rows = {r.id: r.data.asDict() for r in t.read(spark).collect()}
+        for i in range(8):
+            assert rows[f"r{i}"][f"cohort_{i % 4}"] == i
+
+    def test_nonconvergence_is_loud(self, spark, tmp_path):
+        """More cohorts than max_rounds can cover with sample_rows=1
+        must raise, never silently drop fields."""
+        from swarm_spark.pipeline_json import infer_json_schema
+
+        lines = [json.dumps({f"k{i}": i}) for i in range(10)]
+        df = spark.createDataFrame([(ln,) for ln in lines], "data string")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            infer_json_schema(spark, df, sample_rows=1, max_rounds=3)
