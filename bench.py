@@ -155,12 +155,14 @@ def main() -> None:
     # curation = exact dedup → near-dup drop → quality gate, composed;
     # minhash = LSH candidate gen + exact verify over the full corpus;
     # cosine_topk = brute-force scan top-k (quantized scorer)
-    n_docs = timed("curation_pipeline",
-                   lambda: e.q_curation(spark, SF_DIR).count())
+    n_docs = timed_min2("curation_pipeline",
+                        lambda i: (lambda: e.q_curation(spark, SF_DIR).count()))
     extras["curation_docs_kept"] = int(n_docs)
     extras["curation_docs_per_sec"] = round(n_docs / timings["curation_pipeline"], 1)
-    timed("minhash_dedup", lambda: e.q_minhash_pairs(spark, SF_DIR).count())
-    timed("cosine_topk", lambda: e.q_cosine_topk(spark, SF_DIR).collect())
+    timed_min2("minhash_dedup",
+               lambda i: (lambda: e.q_minhash_pairs(spark, SF_DIR).count()))
+    timed_min2("cosine_topk",
+               lambda i: (lambda: e.q_cosine_topk(spark, SF_DIR).collect()))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
