@@ -252,13 +252,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_ratio: float | None | str = "auto",
+    guard_min_docs: int = 100_000,
 ) -> DataFrame:
     """Near-dup candidates: split the simhash into (max_hamming+1)
     bands; pairs within max_hamming hamming distance must agree
     exactly on ≥1 band (pigeonhole — EXACT recall, not probabilistic).
     Equality join on (band_idx, band_value), then exact hamming verify
     via bit_count(xor): the result set equals the all-pairs exact
-    answer, which is what the DuckDB oracle recomputes for md5w60."""
+    answer, which is what the DuckDB oracle recomputes for md5w60.
+
+    Hot-bucket guard (the simhash twin of the stop-shingle guard):
+    simhash is a majority vote over TOKENS WITH REPEATS, so a dominant
+    repeated token collapses many docs onto near-identical signatures
+    — one band bucket then holds a large doc fraction and the
+    self-join emits O(df²) candidates (measured: a pathological 50k
+    corpus produced 1.25e8 pairs). With max_bucket_ratio ('auto':
+    0.01 once the corpus exceeds guard_min_docs), buckets holding more
+    than that fraction of docs are dropped from candidate generation;
+    pairs agreeing ONLY on a dropped band are missed (documented
+    recall trade, same as the stop-shingle guard)."""
     nb = max_hamming + 1
     n_bits = 60 if hash_fn == "md5w60" else 64
     width = n_bits // nb
@@ -269,6 +282,23 @@ def simhash_pairs(
         for i in range(nb)
     ])
     banded = sh.select("_id", "_sh", F.posexplode(bands).alias("_band", "_bv"))
+
+    if max_bucket_ratio == "auto":
+        n_docs = df.count()  # cheap narrow count of the input
+        max_bucket_ratio = 0.01 if n_docs > guard_min_docs else None
+    else:
+        n_docs = None
+    if max_bucket_ratio is not None:
+        if n_docs is None:
+            n_docs = df.count()
+        hot = (
+            banded.groupBy("_band", "_bv")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_bucket_ratio * n_docs)
+            .select("_band", "_bv")
+        )
+        banded = banded.join(F.broadcast(hot), ["_band", "_bv"], "left_anti")
+
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -343,3 +343,34 @@ class TestMultimodalKernel:
             raw = texts[r.media_id].encode()
             assert r.n_bytes == len(raw)
             assert r.sha256 == hashlib.sha256(raw).hexdigest()
+
+
+class TestSimhashHotBucketGuard:
+    def test_dominant_token_bucket_bounded(self, spark):
+        """A dominant repeated token collapses signatures (simhash is
+        a vote over tokens WITH repeats) → one bucket holds everything
+        → O(n²) candidates. The guard bounds it."""
+        from swarm_spark.operators.dedup import simhash_pairs
+
+        # 200 docs: unique half + a dominant token repeated 30×
+        rows = [(i, ("hot " * 30) + f"unique{i} alpha{i} beta{i} gamma{i}")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        unguarded = simhash_pairs(df, max_hamming=3, max_bucket_ratio=None)
+        guarded = simhash_pairs(df, max_hamming=3,
+                                max_bucket_ratio=0.05, guard_min_docs=1)
+        n_un, n_g = unguarded.count(), guarded.count()
+        assert n_un > 1000       # the blowup is real
+        assert n_g < n_un / 10   # and the guard kills it
+
+    def test_guard_keeps_real_dups(self, spark):
+        from swarm_spark.operators.dedup import simhash_pairs
+
+        rows = [(i, f"totally distinct document number {i} with words "
+                    f"{i*7} {i*13} {i*29} {i*31} {i*37}") for i in range(50)]
+        rows += [(100, "the same exact duplicate text here okay"),
+                 (101, "the same exact duplicate text here okay")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = simhash_pairs(df, max_hamming=3,
+                            max_bucket_ratio=0.2, guard_min_docs=1).collect()
+        assert (100, 101, 0) in {(r.id_a, r.id_b, r.hamming) for r in got}
