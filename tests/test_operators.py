@@ -374,3 +374,31 @@ class TestSimhashHotBucketGuard:
         got = simhash_pairs(df, max_hamming=3,
                             max_bucket_ratio=0.2, guard_min_docs=1).collect()
         assert (100, 101, 0) in {(r.id_a, r.id_b, r.hamming) for r in got}
+
+
+class TestIvfPartitionPruning:
+    def test_probe_prunes_partitions_on_disk(self, spark, embs, tmp_path):
+        """The IVF scale path: the assigned table written partitioned
+        by _list makes the probe a PARTITION FILTER — only
+        n_probe/n_lists of the corpus is scanned."""
+        from swarm_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            ivf_topk,
+        )
+        from swarm_spark.plans.skew import physical_plan
+
+        cents = ivf_centroids(embs, 8)
+        assigned = ivf_assign(embs, cents)
+        path = str(tmp_path / "ivf")
+        assigned.write.partitionBy("_list").parquet(path)
+
+        on_disk = spark.read.parquet(path)
+        q = [r[0] for r in embs.filter("vec_id = 0")
+             .select(F.explode("embedding")).collect()]
+        topk = ivf_topk(on_disk, cents, q, k=10, n_probe=2)
+        plan = physical_plan(topk)
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and any("_list" in ln for ln in pf), plan[:1500]
+        # and the probe actually restricts the scan input
+        assert topk.count() == 10
