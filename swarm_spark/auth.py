@@ -108,19 +108,40 @@ class RowFilter:
     principal_value: str
     column: str           # DataFrame column the predicate runs on
     op: str
-    value: str
+    value: str | tuple | list
     negate: bool = False
+
+    def __post_init__(self):
+        if self.op not in _OPS:
+            raise ValueError(f"row filter on {self.column!r}: unknown op {self.op!r}")
+        if self.op == "in":
+            # list('admin') == ['a','d','m','i','n'] — a bare string
+            # would silently match single-character values, so the
+            # membership set must be an explicit sequence of strings
+            if isinstance(self.value, str) or not isinstance(self.value, (list, tuple)):
+                raise ValueError(
+                    f"row filter on {self.column!r}: op 'in' requires a "
+                    f"list/tuple of strings, got {type(self.value).__name__}"
+                )
+        elif not isinstance(self.value, str):
+            raise ValueError(
+                f"row filter on {self.column!r}: op {self.op!r} requires a string value"
+            )
 
     def predicate(self) -> F.Column:
         c = F.col(self.column)
-        p = {
-            "eq": c == F.lit(self.value),
-            "startswith": c.startswith(self.value),
-            "endswith": c.endswith(self.value),
-            "contains": c.contains(self.value),
-            "rlike": c.rlike(self.value),
-            "in": c.isin(list(self.value)),
-        }[self.op]
+        if self.op == "eq":
+            p = c == F.lit(self.value)
+        elif self.op == "startswith":
+            p = c.startswith(self.value)
+        elif self.op == "endswith":
+            p = c.endswith(self.value)
+        elif self.op == "contains":
+            p = c.contains(self.value)
+        elif self.op == "rlike":
+            p = c.rlike(self.value)
+        else:  # "in" — __post_init__ guarantees a list/tuple
+            p = c.isin(*self.value)
         return ~p if self.negate else p
 
 
@@ -165,3 +186,96 @@ def authorize(policy: AccessPolicy | None, request: dict) -> bool:
     if policy is None:
         return True
     return policy.authorize(request)
+
+
+class GuardedTable:
+    """Policy-fronted table handle: reads come back row-filtered and
+    column-masked for the bound principal; every other table operation
+    (append, overwrite, adopt_dir, compact, rollback, ...) re-checks
+    authorize. Obtained via GuardedCatalog.table()."""
+
+    _MUTATORS = frozenset({
+        "append", "overwrite", "adopt_dir", "merge_upsert",
+        "compact", "expire_snapshots", "rollback",
+    })
+
+    def __init__(self, inner, policy: AccessPolicy | None, request: dict):
+        self._inner = inner
+        self._policy = policy
+        self._request = request
+
+    def _check(self):
+        if self._policy is not None and not self._policy.authorize(self._request):
+            raise Unauthorized("denied by policy")
+
+    def read(self, spark, *a, **kw) -> DataFrame:
+        self._check()
+        df = self._inner.read(spark, *a, **kw)
+        if self._policy is None:
+            return df
+        return self._policy.apply(df, self._request)
+
+    def schema(self):
+        """Masked columns are hidden from the visible schema too —
+        a principal must not learn column names it cannot read."""
+        self._check()
+        s = self._inner.schema()
+        if s is None or self._policy is None:
+            return s
+        from pyspark.sql import types as T
+
+        masked = set(
+            self._policy.column_masks.get(
+                _dig(self._request, self._policy.mask_attr), []
+            )
+        )
+        if not masked:
+            return s
+        return T.StructType([f for f in s.fields if f.name not in masked])
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in self._MUTATORS and callable(attr):
+            def gated(*a, **kw):
+                self._check()
+                return attr(*a, **kw)
+
+            return gated
+        return attr
+
+
+class GuardedCatalog:
+    """Data-plane analogue of swarm's HTTP auth middleware
+    (/root/reference/pkg/controller/server/middleware.go:17-46): the
+    reference fronts EVERY server entry with Authorize; here every
+    catalog entry obtained through this handle is policy-checked, so a
+    caller holding the catalog cannot bypass row filters or column
+    masks. Bind one handle per request principal:
+
+        cat = GuardedCatalog(IcepackCatalog(wh), policy, request)
+        cat.table("sink_user").read(spark)   # filtered + masked
+
+    policy=None preserves swarm's EmptyAuth behavior (allow all,
+    unfiltered). The inner catalog object should not be handed out —
+    the guard wraps, it does not mutate."""
+
+    def __init__(self, inner, policy: AccessPolicy | None, request: dict):
+        self._inner = inner
+        self._policy = policy
+        self._request = request
+
+    def _check(self):
+        if self._policy is not None and not self._policy.authorize(self._request):
+            raise Unauthorized("denied by policy")
+
+    @property
+    def supports_adopt(self) -> bool:
+        return getattr(self._inner, "supports_adopt", False)
+
+    def table(self, name: str) -> GuardedTable:
+        self._check()
+        return GuardedTable(self._inner.table(name), self._policy, self._request)
+
+    def tables(self) -> list[str]:
+        self._check()
+        return self._inner.tables()

@@ -79,6 +79,18 @@ class SparkCatalogTable:
         except Exception:
             return -1
 
+    def _partition_unit_property(self) -> str:
+        """Partition transform recorded at create time (V1 tables
+        carry it as a table property; Iceberg carries it in the spec
+        and never needs _p)."""
+        try:
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.qualified}").collect():
+                if r["key"] == "swarm.partition_unit":
+                    return r["value"]
+        except Exception:
+            pass
+        return ""
+
     def append(self, df: DataFrame, partition_unit: str = "",
                ts_col: str = "timestamp") -> dict:
         """Create-or-append with union-by-name evolution. Row count
@@ -102,6 +114,12 @@ class SparkCatalogTable:
                     )
                     df_p.write.format(self.fmt).partitionBy("_p") \
                         .saveAsTable(self.qualified)
+                    # record the transform so later appends can inherit
+                    # it (V1 has no hidden-transform metadata)
+                    self.spark.sql(
+                        f"ALTER TABLE {self.qualified} SET TBLPROPERTIES("
+                        f"'swarm.partition_unit'='{partition_unit}')"
+                    )
                 else:
                     w.saveAsTable(self.qualified)
             else:
@@ -132,6 +150,27 @@ class SparkCatalogTable:
                             f"{f_.name} {f_.dataType.simpleString()}"
                         )
                 live = self.spark.table(self.qualified).schema
+            # V1 partitioned table: materialize _p BEFORE alignment so
+            # the null-fill for other missing live columns is kept
+            # (rebuilding from raw df here would throw whenever df
+            # lacks any other live column). When the caller omits
+            # partition_unit, inherit the transform recorded at create
+            # time — otherwise every row would land in the null
+            # (__HIVE_DEFAULT_PARTITION__) partition.
+            live_names = {f.name for f in live.fields}
+            if "_p" in live_names and "_p" not in df.columns:
+                unit = partition_unit or self._partition_unit_property()
+                if not unit:
+                    raise ValueError(
+                        f"table {self.qualified} is _p-partitioned but no "
+                        f"partition_unit was given and none is recorded in "
+                        f"table properties; pass partition_unit explicitly"
+                    )
+                from .tablestore import _PART_FMT
+
+                df = df.withColumn(
+                    "_p", F.date_format(F.col(ts_col), _PART_FMT[unit])
+                )
             # align to live order; unknown-to-df columns → null
             cols = [
                 F.col(f.name) if f.name in df.columns
@@ -139,16 +178,13 @@ class SparkCatalogTable:
                 for f in live.fields
             ]
             aligned = df.select(*cols)
-            if "_p" in {f.name for f in live.fields} and "_p" not in df.columns \
-                    and partition_unit:
-                from .tablestore import _PART_FMT
-
-                aligned = df.withColumn(
-                    "_p", F.date_format(F.col(ts_col), _PART_FMT[partition_unit])
-                ).select(*[f.name for f in live.fields])
             if v1:
-                aligned.write.mode("append").format(self.fmt) \
-                    .saveAsTable(self.qualified)
+                w = aligned.write.mode("append").format(self.fmt)
+                if "_p" in live_names:
+                    # appends to a partitioned V1 table must declare the
+                    # same partitioning or the writer rejects the append
+                    w = w.partitionBy("_p")
+                w.saveAsTable(self.qualified)
             else:
                 aligned.writeTo(self.qualified).append()
         return {

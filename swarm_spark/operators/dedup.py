@@ -107,6 +107,31 @@ def minhash_signature(shingle_col, num_hashes: int = 128, seed: int = 42) -> F.C
     return F.array(*mins)
 
 
+def bands_for_threshold(threshold: float, num_hashes: int = 128) -> int:
+    """Band count for a target Jaccard threshold: the FEWEST bands
+    (cheapest explode + join) whose s-curve midpoint (1/b)^(1/r),
+    r = num_hashes/b, sits at or below the threshold — so pairs AT the
+    threshold collide with probability >~0.5 and recall rises steeply
+    above it. The default b=16 over 128 hashes has midpoint ~0.71:
+    right for J>=0.8 work, silently lossy below it — use this helper
+    when deduping at lower thresholds.
+
+    Recall table (num_hashes=128, P[collide] = 1-(1-s^r)^b at s=t):
+        t>=0.80 -> b=16 (r=8,  midpoint 0.707, P=0.93 at t=0.8)
+        t>=0.50 -> b=32 (r=4,  midpoint 0.420, P=0.87 at t=0.5)
+        t>=0.30 -> b=64 (r=2,  midpoint 0.125, P=0.998 at t=0.3)
+        below   -> b=128 (r=1: any shared min-hash collides)
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    divisors = [b for b in range(2, num_hashes + 1) if num_hashes % b == 0]
+    for b in divisors:  # ascending: fewest bands first
+        r = num_hashes // b
+        if (1.0 / b) ** (1.0 / r) <= threshold:
+            return b
+    return num_hashes
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -118,7 +143,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs agreeing on ALL
     rows of any band collide. bands=16 over 128 hashes → r=8 rows/band
-    (match probability s^8 per band; ~0.5 at s≈0.92).
+    (match probability s^8 per band; ~0.5 at s≈0.92) — tuned for
+    threshold≈0.8 dedup. Below 0.8, pass
+    bands=bands_for_threshold(t, num_hashes) or recall drops silently
+    (see the recall table on that helper).
 
     Returns (id_a, id_b, inter, union_sz, jaccard) for candidates
     verified with EXACT shingle-set Jaccard (array_intersect/
@@ -254,6 +282,7 @@ def simhash_pairs(
     hash_fn: str = "xxhash64",
     max_bucket_ratio: float | None | str = "auto",
     guard_min_docs: int = 100_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: split the simhash into (max_hamming+1)
     bands; pairs within max_hamming hamming distance must agree
@@ -271,7 +300,13 @@ def simhash_pairs(
     0.01 once the corpus exceeds guard_min_docs), buckets holding more
     than that fraction of docs are dropped from candidate generation;
     pairs agreeing ONLY on a dropped band are missed (documented
-    recall trade, same as the stop-shingle guard)."""
+    recall trade, same as the stop-shingle guard).
+
+    n_docs: optional row-count HINT. The 'auto' guard needs the corpus
+    size; without the hint it runs an eager df.count() at plan-build
+    time (cheap — usually parquet metadata — but an action composed
+    pipelines may not want). Pass the known count to keep this a pure
+    plan builder."""
     nb = max_hamming + 1
     n_bits = 60 if hash_fn == "md5w60" else 64
     width = n_bits // nb
@@ -284,10 +319,9 @@ def simhash_pairs(
     banded = sh.select("_id", "_sh", F.posexplode(bands).alias("_band", "_bv"))
 
     if max_bucket_ratio == "auto":
-        n_docs = df.count()  # cheap narrow count of the input
+        if n_docs is None:
+            n_docs = df.count()  # cheap narrow count of the input
         max_bucket_ratio = 0.01 if n_docs > guard_min_docs else None
-    else:
-        n_docs = None
     if max_bucket_ratio is not None:
         if n_docs is None:
             n_docs = df.count()
@@ -364,20 +398,44 @@ def jaccard_pairs_inverted(
     max_doc_ratio: float | None | str = "auto",
     guard_min_docs: int = 100_000,
     persist_base: bool = True,
+    n_docs: int | None = None,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """EXACT Jaccard for every pair sharing ≥1 shingle, via an
     inverted-index join: explode shingles → equi-join on shingle →
     count common shingles per pair → J = |∩| / (|A|+|B|-|∩|).
 
-    This is the scalable exact path: the join key is the shingle
-    (hash-partitionable), the explosion factor is bounded by document
-    length, and no pair that can't have J>0 is ever materialized.
+    SCALE LIMIT — this is an EXACT path for MODERATE BLOCKS, not a
+    corpus-scale operator. The shingle equi-join's intermediate is
+    sum over shingles of df(s)^2 pairs, which grows SUPERLINEARLY in
+    corpus size even with the skew guard on (measured, SCALE.md
+    "Dedup at corpus scale": 10× docs → ~40× wall; 1,091 s at 50k
+    docs vs 10.6 s for MinHash). Use it for ≤~10k-doc blocks (e.g.
+    within a partition/topic key) or to re-verify candidate pairs
+    from minhash_lsh_pairs with exact scores; at corpus scale use
+    minhash_lsh_pairs. Calls on >max_docs docs raise (pass
+    max_docs=None after reading this to proceed anyway).
+
     Stop-shingle filtering (drop shingles appearing in >p% of docs)
-    is the standard skew guard at corpus scale — DEFAULT-ON
-    ('auto': engages at 5% once the corpus exceeds guard_min_docs, so
-    a hot shingle can never O(df²)-blow up a big run; small corpora
-    keep the exhaustive path). Pass an explicit float to force it, or
-    None to disable."""
+    bounds the SKEW blowup of a single hot shingle — DEFAULT-ON
+    ('auto': engages at 5% once the corpus exceeds guard_min_docs);
+    it does NOT change the superlinear growth above. Pass an explicit
+    float to force it, or None to disable.
+
+    n_docs: optional row-count HINT — without it the 'auto' guard and
+    the max_docs check run an eager df.count() at plan-build time;
+    pass the known count to keep this a pure plan builder."""
+    if max_docs is not None:
+        if n_docs is None:
+            n_docs = df.count()
+        if n_docs > max_docs:
+            raise RuntimeError(
+                f"jaccard_pairs_inverted on {n_docs} docs (> max_docs="
+                f"{max_docs}): the exact inverted-index join grows "
+                f"superlinearly with corpus size. Block the corpus "
+                f"(ngram_jaccard_pairs with block_col) or use "
+                f"minhash_lsh_pairs; pass max_docs=None to override."
+            )
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles(text_col, k).alias("_sh"),
@@ -394,10 +452,9 @@ def jaccard_pairs_inverted(
     if max_doc_ratio == "auto":
         # row count of the INPUT (no shingle recompute — df.count() is
         # a cheap narrow scan, usually a parquet metadata read)
-        n_docs = df.count()
+        if n_docs is None:
+            n_docs = df.count()
         max_doc_ratio = 0.05 if n_docs > guard_min_docs else None
-    else:
-        n_docs = None
 
     if max_doc_ratio is not None:
         # Stop-shingle skew guard: a shingle in >max_doc_ratio of docs

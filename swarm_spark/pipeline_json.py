@@ -116,6 +116,106 @@ def make_drop_udf(paths: tuple):
     return drop
 
 
+def _merge_inferred(old, new):
+    """Inference-round schema merge: union-by-name like
+    tablestore.merge_schemas, PLUS the numeric widening Spark's own
+    JSON inference applies (long ∪ double → double, NullType yields to
+    anything) — two sample cohorts that disagree only in numeric width
+    must converge, not hard-fail. Genuine conflicts (string vs long,
+    scalar vs struct) still raise SchemaConflictError — the bqs.Merge
+    contract (/root/reference/pkg/usecase/bigquery.go:15-62)."""
+    from pyspark.sql import types as T
+
+    if old is None:
+        return new
+    by_name = {f.name: f for f in new.fields}
+    out = []
+    for fo in old.fields:
+        fn = by_name.pop(fo.name, None)
+        if fn is None:
+            out.append(fo)
+        else:
+            out.append(T.StructField(fo.name, _merge_inferred_type(fo.dataType, fn.dataType, fo.name), True))
+    out.extend(f for f in new.fields if f.name in by_name)
+    return T.StructType(out)
+
+
+def _merge_inferred_type(a, b, name):
+    from pyspark.sql import types as T
+
+    from .tablestore import SchemaConflictError
+
+    if a == b:
+        return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        return _merge_inferred(a, b)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_inferred_type(a.elementType, b.elementType, name), True)
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if {a.__class__, b.__class__} <= {T.LongType, T.DoubleType}:
+        return T.DoubleType()
+    raise SchemaConflictError(
+        f"field {name!r}: {a.simpleString()} vs {b.simpleString()}"
+    )
+
+
+def _jpath(parts) -> str:
+    """Bracket-quoted Spark JSON path ($['a']['b']) so keys containing
+    dots survive — positional, never lstrip."""
+    return "$" + "".join(f"['{p}']" for p in parts)
+
+
+# Residual-predicate width bound: one coverage scan evaluates a
+# get_json_object per checked path (each re-parses the doc), so very
+# wide schemas cap the deep check and fall back to top-level coverage.
+MAX_COVERAGE_PATHS = 256
+
+
+def _residual_predicate(col: str, schema) -> F.Column:
+    """JVM-side predicate that flags records the candidate schema would
+    LOSE data from, no Python: (1) top-level keys outside the schema;
+    (2) nested-object keys outside the schema's struct fields —
+    recursively over struct paths; (3) type conflicts / parse loss:
+    from_json produced null where the raw path is present (a long
+    field receiving \"abc\" or 1.5, a scalar receiving an object...).
+    Array-of-struct interiors are not walked (documented bound) —
+    conflicts there still surface via (3) when the whole field fails.
+    """
+    from pyspark.sql import types as T
+
+    parsed = F.from_json(F.col(col), schema)
+    preds = [
+        F.size(
+            F.array_except(
+                F.json_object_keys(F.col(col)),
+                F.array(*[F.lit(f.name) for f in schema.fields]),
+            )
+        )
+        > 0
+    ]
+
+    def walk(struct, parts, parsed_col):
+        for f_ in struct.fields:
+            if len(preds) >= MAX_COVERAGE_PATHS:
+                return
+            child_parts = parts + (f_.name,)
+            raw = F.get_json_object(F.col(col), _jpath(child_parts))
+            preds.append(parsed_col[f_.name].isNull() & raw.isNotNull())
+            if isinstance(f_.dataType, T.StructType):
+                kids = F.array(*[F.lit(c.name) for c in f_.dataType.fields])
+                preds.append(F.size(F.array_except(F.json_object_keys(raw), kids)) > 0)
+                walk(f_.dataType, child_parts, parsed_col[f_.name])
+
+    walk(schema, (), parsed)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
 def infer_json_schema(
     spark: SparkSession,
     docs_only: DataFrame,
@@ -133,29 +233,33 @@ def infer_json_schema(
     cost):
       1. infer on a BOUNDED sample (limit(sample_rows) BEFORE the RDD
          hop — the only Python transfer is ≤ sample_rows docs);
-      2. union-merge with the live table schema (merge_schemas — type
-         conflict stays a hard error);
-      3. JVM-side coverage check: one codegen'd scan flags records with
-         top-level keys outside the merged schema (json_object_keys +
-         array_except — no Python);
+      2. union-merge with the live table schema (numeric widths widen
+         across inference rounds; genuine type conflict stays a hard
+         error);
+      3. JVM-side coverage check: one codegen'd scan flags records the
+         candidate schema would lose data from — unknown top-level OR
+         NESTED keys (json_object_keys + array_except, walked over
+         every struct path) and type conflicts (from_json null where
+         the raw path is present) — no Python;
       4. records the sample missed become the next round's sample —
          every RDD hop stays bounded. Converges in 1 round for
          homogeneous batches; heterogeneous batches pay one extra JVM
          scan per new key-shape cohort.
-    """
-    from .tablestore import merge_schemas
 
+    Bounds (documented, not silent): the deep check walks at most
+    MAX_COVERAGE_PATHS paths — beyond that only shallower paths are
+    checked — and array-of-struct interiors are not walked; nested
+    heterogeneity hiding ONLY there and beyond the sample converges
+    by the plain top-level check or is dropped as before.
+    """
     col = docs_only.columns[0]
     schema = live_schema
     remaining = docs_only
     for _ in range(max_rounds):
         strs = remaining.limit(sample_rows).rdd.map(lambda r: r[0])  # bounded hop
         inferred = spark.read.json(strs).schema
-        schema = merge_schemas(schema, inferred) if schema is not None else inferred
-        known = F.array(*[F.lit(f.name) for f in schema.fields])
-        remaining = docs_only.filter(
-            F.size(F.array_except(F.json_object_keys(F.col(col)), known)) > 0
-        )
+        schema = _merge_inferred(schema, inferred)
+        remaining = docs_only.filter(_residual_predicate(col, schema))
         if remaining.isEmpty():
             return schema
     raise RuntimeError(

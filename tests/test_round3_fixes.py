@@ -1,0 +1,291 @@
+"""Round-3 regression tests for the advisor findings (ADVICE.md r2):
+
+1. tablestore._commit adoption race: claim_fails resets when CURRENT
+   advances, adoption is age-gated, and a clobbered claim is detected
+   post-advance (the writer rebases instead of losing its data_dirs).
+2. infer_json_schema coverage extends to NESTED keys and type
+   conflicts (numeric widths widen; real conflicts hard-error).
+3. SparkCatalogTable.append aligns + inherits partition_unit.
+4. drop_fields never nulls envelope columns in single_pass mode.
+5. auth.RowFilter op 'in' requires a real membership sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.auth import RowFilter
+from swarm_spark.pipeline_json import infer_json_schema
+from swarm_spark.tablestore import IcepackTable, SchemaConflictError
+
+
+# ---------------------------------------------------------------- 1 --
+def _plant_claim(t: IcepackTable, sid: int, mtime_ago: float = 0.0) -> str:
+    path = t._snap_path(sid)
+    with open(path, "w") as fh:
+        json.dump({"_writer": "other-writer", "parent": sid - 1,
+                   "op": "append", "data_dirs": [], "schema": "{}",
+                   "snapshot_id": sid}, fh)
+    if mtime_ago:
+        past = time.time() - mtime_ago
+        os.utime(path, (past, past))
+    return path
+
+
+def test_fresh_claim_is_not_adopted(spark, tmp_path):
+    """A claim younger than the grace period belongs to a LIVE writer:
+    the contender must back off (contention error), never clobber."""
+    t = IcepackTable(str(tmp_path), "tbl")
+    t.append(spark.createDataFrame([(1,)], "a bigint"))
+    _plant_claim(t, sid=2)  # fresh mtime = live writer mid-commit
+    t.ADOPT_GRACE_SEC = 30.0  # instance override: far beyond the loop
+    with pytest.raises(RuntimeError, match="contention"):
+        t.append(spark.createDataFrame([(2,)], "a bigint"))
+    # the live writer's claim file survives untouched
+    with open(t._snap_path(2)) as fh:
+        assert json.load(fh)["_writer"] == "other-writer"
+
+
+def test_stale_claim_is_adopted(spark, tmp_path):
+    """A claim whose writer died (old mtime, CURRENT never advanced)
+    must not wedge the table: the contender adopts the sid."""
+    t = IcepackTable(str(tmp_path), "tbl")
+    t.append(spark.createDataFrame([(1,)], "a bigint"))
+    _plant_claim(t, sid=2, mtime_ago=60.0)
+    snap = t.append(spark.createDataFrame([(2,)], "a bigint"))
+    assert snap["snapshot_id"] == 2
+    assert t.read(spark).count() == 2
+
+
+def test_clobbered_claim_detected_and_rebased(spark, tmp_path, monkeypatch):
+    """If an adopter replaces our claimed snap file during the
+    claim->CURRENT window, the post-advance verification must notice
+    (writer token mismatch) and rebase: our data_dirs reappear in the
+    next snapshot instead of silently vanishing from lineage."""
+    t = IcepackTable(str(tmp_path), "tbl")
+    t.append(spark.createDataFrame([(1,)], "a bigint"))
+    base_dirs = list(t.current_snapshot()["data_dirs"])
+
+    real_link = os.link
+    state = {"clobbered": False}
+
+    def link_and_clobber(src, dst, **kw):
+        real_link(src, dst, **kw)
+        if not state["clobbered"] and "snap-" in os.path.basename(dst):
+            state["clobbered"] = True
+            with open(dst) as fh:
+                mine = json.load(fh)
+            foreign = dict(mine)
+            foreign["_writer"] = "adopter"
+            foreign["data_dirs"] = base_dirs + ["FOREIGN_DIR"]
+            foreign["row_count"] = mine.get("row_count", 0)
+            with open(dst, "w") as fh:
+                json.dump(foreign, fh)
+
+    monkeypatch.setattr(os, "link", link_and_clobber)
+    snap = t.append(spark.createDataFrame([(2,)], "a bigint"))
+    # our commit retreated to a NEW sid on top of the adopter's
+    assert snap["snapshot_id"] == 3
+    cur = t.current_snapshot()
+    assert cur["snapshot_id"] == 3
+    my_new = [d for d in cur["data_dirs"]
+              if d not in set(base_dirs) and d != "FOREIGN_DIR"]
+    assert len(my_new) == 1          # our appended dir survived the race
+    assert "FOREIGN_DIR" in cur["data_dirs"]  # the adopter's too
+
+
+# ---------------------------------------------------------------- 2 --
+def _docs_df(spark, docs: list[str]):
+    return spark.createDataFrame([(d,) for d in docs], "data string").coalesce(1)
+
+
+def test_infer_nested_key_coverage(spark):
+    """Nested novelty beyond the sample (sample saw a.x, remainder
+    carries a.y) must trigger another round, not silently null."""
+    docs = ['{"a":{"x":1}}'] * 3 + ['{"a":{"y":2}}'] * 2
+    schema = infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+    a = {f.name: f for f in schema.fields}["a"].dataType
+    assert {f.name for f in a.fields} == {"x", "y"}
+
+
+def test_infer_numeric_widening(spark):
+    """long-vs-double across sample cohorts widens (like Spark's own
+    inference) instead of hard-failing or silently nulling 1.5."""
+    docs = ['{"n":1}'] * 3 + ['{"n":1.5}'] * 2
+    schema = infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+    assert schema["n"].dataType.simpleString() == "double"
+
+
+def test_infer_type_conflict_is_loud(spark):
+    """A genuine type conflict (long vs string) raises — the bqs.Merge
+    hard-error contract — rather than silently nulling values."""
+    docs = ['{"v":1}'] * 3 + ['{"v":"abc"}'] * 2
+    with pytest.raises(SchemaConflictError):
+        infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+
+
+def test_infer_homogeneous_one_round(spark):
+    docs = ['{"a":{"x":1},"b":"s"}'] * 5
+    schema = infer_json_schema(spark, _docs_df(spark, docs), sample_rows=10)
+    assert {f.name for f in schema.fields} == {"a", "b"}
+
+
+# ---------------------------------------------------------------- 3 --
+def test_catalog_append_inherits_partition_and_aligns(spark, tmp_path):
+    from swarm_spark.catalogs import IcebergCatalog
+
+    cat = IcebergCatalog(spark, "r3cat_db", fmt="parquet")
+    t = cat.table("part_tbl")
+    try:
+        df1 = spark.createDataFrame(
+            [("a", "2024-01-01 10:00:00", 1)],
+            "id string, timestamp string, extra bigint",
+        ).withColumn("timestamp", F.to_timestamp("timestamp"))
+        t.append(df1, partition_unit="day", ts_col="timestamp")
+
+        # second append: NO partition_unit given, 'extra' column missing
+        df2 = spark.createDataFrame(
+            [("b", "2024-02-02 11:00:00")], "id string, timestamp string"
+        ).withColumn("timestamp", F.to_timestamp("timestamp"))
+        t.append(df2, ts_col="timestamp")  # must not throw, must partition
+
+        got = spark.table(t.qualified).select("id", "_p", "extra").collect()
+        by_id = {r["id"]: r for r in got}
+        assert by_id["b"]["_p"] == "2024-02-02"   # inherited day transform
+        assert by_id["b"]["extra"] is None        # null-filled alignment
+        assert by_id["a"]["_p"] == "2024-01-01"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS r3cat_db CASCADE")
+
+
+# ---------------------------------------------------------------- 4 --
+def test_drop_fields_never_nulls_envelope(spark, tmp_path):
+    """A rule listing an envelope name in drop_fields must not null
+    the envelope in single_pass mode; both write modes stay equal."""
+    from swarm_spark.datagen import generate_transcripts
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+
+    transcripts = generate_transcripts(spark, 400, n_convs=10, seed=7)
+    rules = [
+        dataclasses.replace(r, drop_fields=("text", "timestamp", "id"))
+        for r in default_schema_rules()
+    ]
+
+    outs = {}
+    for mode in ("single_pass", "per_sink"):
+        cfg = PipelineConfig(
+            event_rules=default_event_rules(),
+            schema_rules=rules,
+            warehouse=str(tmp_path / f"wh_{mode}"),
+            tool_dim=default_tool_dim(spark),
+            write_mode=mode,
+        )
+        pipe = IngestPipeline(spark, cfg)
+        pipe.run(transcripts, batch_id=f"b-{mode}")
+        sink = pipe.catalog.table("sink_tools").read(spark)
+        assert sink.filter(F.col("timestamp").isNull()).count() == 0
+        assert sink.filter(F.col("id").isNull()).count() == 0
+        assert "text" not in sink.columns  # payload drop still applies
+        outs[mode] = sink.select(
+            "id", "timestamp", "conv_id", "turn_idx"
+        ).orderBy("conv_id", "turn_idx").collect()
+    assert outs["single_pass"] == outs["per_sink"]
+
+
+# ------------------------------------------------- dedup hardening --
+def test_jaccard_inverted_oversize_guard(spark):
+    """Corpus-scale calls must fail loudly: the exact inverted-index
+    join is measured superlinear (SCALE.md), so >max_docs raises with
+    guidance instead of a 40x wall-clock surprise."""
+    from swarm_spark.operators.dedup import jaccard_pairs_inverted
+
+    df = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    with pytest.raises(RuntimeError, match="superlinear"):
+        jaccard_pairs_inverted(df, n_docs=200_000)
+    # explicit opt-out still works
+    jaccard_pairs_inverted(df, n_docs=200_000, max_docs=None,
+                           max_doc_ratio=None)
+
+
+def test_bands_for_threshold_table():
+    from swarm_spark.operators.dedup import bands_for_threshold
+
+    assert bands_for_threshold(0.8, 128) == 16
+    assert bands_for_threshold(0.5, 128) == 32
+    assert bands_for_threshold(0.3, 128) == 64
+    assert bands_for_threshold(0.05, 128) == 128
+    with pytest.raises(ValueError):
+        bands_for_threshold(0.0)
+
+
+def test_minhash_recall_below_default_threshold(spark):
+    """Recall characterization at J in [0.55, 0.75): the default b=16
+    banding is tuned for J>=0.8; bands_for_threshold(0.5) must keep
+    recall high against the exact-Jaccard answer."""
+    import random
+
+    from swarm_spark.operators.dedup import (
+        bands_for_threshold,
+        jaccard_pairs_inverted,
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(123)
+    vocab = [f"w{i:03d}" for i in range(4000)]
+    rows = []
+    for i in range(50):
+        words = rng.sample(vocab, 40)
+        rows.append((f"a{i:02d}", " ".join(words)))
+        # partner shares the first m words -> shingle Jaccard
+        # (m-2)/(76-(m-2)) in ~[0.55, 0.75) for m in [29, 35]
+        m = rng.randint(29, 35)
+        partner = words[:m] + rng.sample(vocab, 40 - m)
+        rows.append((f"b{i:02d}", " ".join(partner)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_inverted(
+            df, threshold=0.5, max_doc_ratio=None, max_docs=None
+        ).collect()
+    }
+    assert len(exact) >= 40  # the construction planted ~50 such pairs
+    b = bands_for_threshold(0.5, 128)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, num_hashes=128, bands=b).collect()
+        if r.jaccard >= 0.5
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} with b={b}"
+
+
+# ---------------------------------------------------------------- 5 --
+def test_rowfilter_in_requires_sequence():
+    with pytest.raises(ValueError, match="'in'"):
+        RowFilter("role", "analyst", "sink", "in", "admin")
+
+
+def test_rowfilter_in_membership(spark):
+    rf = RowFilter("role", "analyst", "sink", "in", ("a", "sink_user"))
+    df = spark.createDataFrame(
+        [("sink_user",), ("a",), ("d",), ("admin",)], "sink string"
+    )
+    got = sorted(r["sink"] for r in df.filter(rf.predicate()).collect())
+    assert got == ["a", "sink_user"]  # 'd'/'admin' no longer leak through
+
+
+def test_rowfilter_unknown_op_rejected():
+    with pytest.raises(ValueError, match="unknown op"):
+        RowFilter("role", "analyst", "sink", "matches", "x")
