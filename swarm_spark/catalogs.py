@@ -42,6 +42,37 @@ from pyspark.sql import types as T
 _TRANSFORM = {"hour": "hours", "day": "days", "month": "months", "year": "years"}
 
 
+# -- Iceberg SQL statement builders -----------------------------------
+# The container has no Iceberg jars, so these statements cannot run
+# against the engine they target; they are PINNED instead: golden
+# tests (tests/test_catalogs.py) assert the exact strings against the
+# documented Iceberg Spark syntax AND feed each one through Spark's
+# SQL parser so dialect drift (a typo'd keyword, wrong CALL shape)
+# fails in CI, not in production. ALTER..ADD COLUMNS additionally
+# EXECUTES against a spark_catalog parquet table in the tests.
+
+def iceberg_sql_add_columns(qualified: str, cols: list[tuple[str, str]]) -> str:
+    """ALTER TABLE .. ADD COLUMNS (..) — schema evolution, the
+    create-or-evolve contract of bq createOrUpdateTable
+    (/root/reference/pkg/infra/bq/client.go:126-200)."""
+    spec = ", ".join(f"{n} {t}" for n, t in cols)
+    return f"ALTER TABLE {qualified} ADD COLUMNS ({spec})"
+
+
+def iceberg_sql_rollback(catalog: str, qualified: str, snapshot_id: int) -> str:
+    return (
+        f"CALL {catalog}.system.rollback_to_snapshot"
+        f"('{qualified}', {snapshot_id})"
+    )
+
+
+def iceberg_sql_expire_snapshots(catalog: str, qualified: str, retain_last: int) -> str:
+    return (
+        f"CALL {catalog}.system.expire_snapshots(table => '{qualified}', "
+        f"retain_last => {retain_last})"
+    )
+
+
 class SparkCatalogTable:
     def __init__(self, spark: SparkSession, qualified: str, fmt: str = ""):
         self.spark = spark
@@ -143,12 +174,12 @@ class SparkCatalogTable:
                         f"managed-table schemas safely"
                     )
                 # Iceberg schema evolution: add new columns, then append
-                for f_ in df.schema.fields:
-                    if f_.name in extra:
-                        self.spark.sql(
-                            f"ALTER TABLE {self.qualified} ADD COLUMN "
-                            f"{f_.name} {f_.dataType.simpleString()}"
-                        )
+                new_cols = [
+                    (f_.name, f_.dataType.simpleString())
+                    for f_ in df.schema.fields
+                    if f_.name in extra
+                ]
+                self.spark.sql(iceberg_sql_add_columns(self.qualified, new_cols))
                 live = self.spark.table(self.qualified).schema
             # V1 partitioned table: materialize _p BEFORE alignment so
             # the null-fill for other missing live columns is kept
@@ -205,20 +236,14 @@ class SparkCatalogTable:
         manifest resume-skip, same as icepack under contention)."""
         cat = self.qualified.split(".", 1)[0]
         try:
-            self.spark.sql(
-                f"CALL {cat}.system.rollback_to_snapshot"
-                f"('{self.qualified}', {snapshot_id})"
-            )
+            self.spark.sql(iceberg_sql_rollback(cat, self.qualified, snapshot_id))
             return True
         except Exception:
             return False
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         cat = self.qualified.split(".", 1)[0]
-        self.spark.sql(
-            f"CALL {cat}.system.expire_snapshots(table => '{self.qualified}', "
-            f"retain_last => {keep_last})"
-        )
+        self.spark.sql(iceberg_sql_expire_snapshots(cat, self.qualified, keep_last))
         return {"expired": -1, "data_dirs_removed": -1}
 
     def snapshots(self) -> list[dict]:

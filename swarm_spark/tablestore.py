@@ -57,6 +57,16 @@ class SchemaConflictError(ValueError):
     bqs schema merge (migrate_test.go:115-132)."""
 
 
+class CommitConflict(RuntimeError):
+    """CURRENT advanced between reading the table and committing a
+    REWRITE (compact / merge): blindly rebasing would silently drop
+    the concurrent append's rows, so the commit aborts and the caller
+    recomputes from the new CURRENT — the validation-exception-and-
+    retry semantics of an Iceberg rewrite. Plain appends never raise
+    this (their rebase is a pure union); overwrite() is an explicit
+    replace-the-table op and keeps last-write-wins."""
+
+
 def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
     """Union-by-name: old field order preserved, new fields appended,
     nested structs merged recursively, type conflict → error."""
@@ -162,6 +172,13 @@ class IcepackTable:
                 claim_fails = 0
                 last_cur = cur
             if cur != snap["parent"]:
+                if snap["op"] in ("compact", "merge"):
+                    # rewrites are computed FROM a snapshot's contents;
+                    # committing over a different one loses rows
+                    raise CommitConflict(
+                        f"table {self.name}: CURRENT advanced during "
+                        f"{snap['op']} (expected {snap['parent']}, found {cur})"
+                    )
                 # another writer advanced the table; rebase lineage
                 parent_snap = self.current_snapshot()
                 snap["parent"] = cur
@@ -377,7 +394,13 @@ class IcepackTable:
             "committed_at": time.time(),
             "snapshot_id": None,
         }
-        self._commit(snap)
+        try:
+            self._commit(snap)
+        except CommitConflict:
+            import shutil
+
+            shutil.rmtree(ddir, ignore_errors=True)  # orphaned staging
+            raise
         return snap
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -399,10 +422,14 @@ class IcepackTable:
                 if d not in kept_dirs and os.path.isdir(d):
                     shutil.rmtree(d, ignore_errors=True)
                     removed += 1
-            os.remove(self._snap_path(s["snapshot_id"]))
+            try:
+                os.remove(self._snap_path(s["snapshot_id"]))
+            except FileNotFoundError:
+                pass  # concurrent expire already removed it
         return {"expired": len(drop), "data_dirs_removed": removed}
 
-    def merge_upsert(self, spark: SparkSession, df: DataFrame, keys: list[str]) -> dict:
+    def merge_upsert(self, spark: SparkSession, df: DataFrame, keys: list[str],
+                     max_retries: int = 10) -> dict:
         """MERGE INTO analogue (upsert by key): incoming rows replace
         same-key rows, others are kept. No Delta/Iceberg jars in this
         container, so the implementation is the standard anti-join +
@@ -410,59 +437,83 @@ class IcepackTable:
 
             kept  = current ANTI JOIN incoming ON keys
             next  = kept UNION BY NAME incoming   (schema evolution ok)
+
+        The rewrite is recomputed from scratch if a concurrent append
+        lands between read and commit (CommitConflict) — otherwise the
+        overwrite would silently drop the appended rows.
         """
         incoming = df
-        if self.exists():
-            current = self.read(spark)
-            schema = merge_schemas(
-                T.StructType.fromJson(json.loads(self.current_snapshot()["schema"])),
-                incoming.schema,
-            )
-            kept = current.join(incoming.select(*keys).distinct(), keys, "left_anti")
-            merged = kept.unionByName(incoming, allowMissingColumns=True)
-            cols = [
-                F.col(f.name) if f.name in merged.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-            merged = merged.select(*cols)
-        else:
-            merged = incoming
-        prev = self.current_snapshot() or {}
-        return self.overwrite(
-            merged,
-            partition_unit=prev.get("partition_unit", ""),
-            ts_col=prev.get("ts_col", "timestamp"),
-            op="merge",
+        for _ in range(max_retries):
+            if self.exists():
+                current = self.read(spark)
+                schema = merge_schemas(
+                    T.StructType.fromJson(json.loads(self.current_snapshot()["schema"])),
+                    incoming.schema,
+                )
+                kept = current.join(incoming.select(*keys).distinct(), keys, "left_anti")
+                merged = kept.unionByName(incoming, allowMissingColumns=True)
+                cols = [
+                    F.col(f.name) if f.name in merged.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+                merged = merged.select(*cols)
+            else:
+                merged = incoming
+            prev = self.current_snapshot() or {}
+            try:
+                return self.overwrite(
+                    merged,
+                    partition_unit=prev.get("partition_unit", ""),
+                    ts_col=prev.get("ts_col", "timestamp"),
+                    op="merge",
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"merge on table {self.name} kept losing to concurrent commits"
         )
 
-    def compact(self, spark: SparkSession, target_files: int | None = None) -> dict:
+    def compact(self, spark: SparkSession, target_files: int | None = None,
+                max_retries: int = 10) -> dict:
         """Small-file compaction (the rewrite_data_files maintenance
         op): rewrite CURRENT contents into a single fresh data dir
         with a bounded file count, preserving schema + partitioning.
         Appends a new snapshot (op='compact') — time travel to
-        pre-compaction snapshots still works."""
-        snap = self.current_snapshot()
-        if snap is None:
-            raise FileNotFoundError(f"table {self.name} has no snapshots")
-        df = self.read(spark)
-        if target_files:
-            df = df.coalesce(target_files)
-        ddir, n = self._write_data(df, snap.get("partition_unit", ""), snap.get("ts_col", "timestamp"))
-        new = {
-            "parent": snap["snapshot_id"],
-            "op": "compact",
-            "data_dirs": [ddir],
-            "schema": snap["schema"],
-            "partition_unit": snap.get("partition_unit", ""),
-            "ts_col": snap.get("ts_col", "timestamp"),
-            "row_count": n,
-            "added_rows": 0,
-            "committed_at": time.time(),
-            "snapshot_id": None,
-        }
-        self._commit(new)
-        return new
+        pre-compaction snapshots still works. If an append commits
+        while the rewrite is in flight, the commit aborts
+        (CommitConflict) and the whole rewrite re-runs from the new
+        CURRENT — compaction must never drop concurrent rows."""
+        import shutil
+
+        for _ in range(max_retries):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"table {self.name} has no snapshots")
+            df = self.read(spark)
+            if target_files:
+                df = df.coalesce(target_files)
+            ddir, n = self._write_data(df, snap.get("partition_unit", ""), snap.get("ts_col", "timestamp"))
+            new = {
+                "parent": snap["snapshot_id"],
+                "op": "compact",
+                "data_dirs": [ddir],
+                "schema": snap["schema"],
+                "partition_unit": snap.get("partition_unit", ""),
+                "ts_col": snap.get("ts_col", "timestamp"),
+                "row_count": n,
+                "added_rows": 0,
+                "committed_at": time.time(),
+                "snapshot_id": None,
+            }
+            try:
+                self._commit(new)
+                return new
+            except CommitConflict:
+                shutil.rmtree(ddir, ignore_errors=True)  # stale rewrite
+        raise CommitConflict(
+            f"compact on table {self.name} kept losing to concurrent commits"
+        )
 
     # -- read ----------------------------------------------------------
     def read(

@@ -114,3 +114,63 @@ def test_single_pass_requires_adoption_capable_catalog(spark, tmp_path):
     with pytest.raises(ValueError, match="single_pass"):
         IngestPipeline(spark, cfg, catalog=cat)
     spark.sql(f"DROP DATABASE IF EXISTS {cat.namespace} CASCADE")
+
+
+class TestIcebergSqlGoldens:
+    """The container has no Iceberg jars, so the Iceberg-only branches
+    cannot execute against the engine they target (VERDICT r2 #2).
+    These tests pin the EXACT statements emitted: golden equality with
+    the documented Iceberg Spark syntax, a parser round-trip so any
+    dialect drift (typo'd keyword, wrong CALL shape) fails here, and —
+    where spark_catalog supports the same grammar — real execution."""
+
+    def test_golden_strings(self):
+        from swarm_spark.catalogs import (
+            iceberg_sql_add_columns,
+            iceberg_sql_expire_snapshots,
+            iceberg_sql_rollback,
+        )
+
+        assert iceberg_sql_add_columns(
+            "lake.db.t", [("x", "string"), ("y", "struct<a:bigint>")]
+        ) == "ALTER TABLE lake.db.t ADD COLUMNS (x string, y struct<a:bigint>)"
+        assert iceberg_sql_rollback("lake", "lake.db.t", 123) == (
+            "CALL lake.system.rollback_to_snapshot('lake.db.t', 123)"
+        )
+        assert iceberg_sql_expire_snapshots("lake", "lake.db.t", 2) == (
+            "CALL lake.system.expire_snapshots(table => 'lake.db.t', "
+            "retain_last => 2)"
+        )
+
+    def test_statements_parse(self, spark):
+        from swarm_spark.catalogs import (
+            iceberg_sql_add_columns,
+            iceberg_sql_expire_snapshots,
+            iceberg_sql_rollback,
+        )
+
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        for sql in [
+            iceberg_sql_add_columns("lake.db.t", [("x", "string")]),
+            iceberg_sql_rollback("lake", "lake.db.t", 123),
+            iceberg_sql_expire_snapshots("lake", "lake.db.t", 2),
+        ]:
+            parser.parsePlan(sql)  # raises ParseException on drift
+
+    def test_add_columns_executes_on_spark_catalog(self, spark):
+        """The evolution DDL actually runs where the grammar is shared:
+        a spark_catalog parquet table accepts the same ADD COLUMNS."""
+        from swarm_spark.catalogs import iceberg_sql_add_columns
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS r3sql_db")
+        try:
+            spark.createDataFrame([(1,)], "a bigint").write.format(
+                "parquet"
+            ).saveAsTable("r3sql_db.evolve_t")
+            spark.sql(iceberg_sql_add_columns(
+                "r3sql_db.evolve_t", [("b", "string"), ("c", "struct<x:bigint>")]
+            ))
+            cols = [f.name for f in spark.table("r3sql_db.evolve_t").schema.fields]
+            assert cols == ["a", "b", "c"]
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS r3sql_db CASCADE")
