@@ -382,7 +382,15 @@ class IngestPipeline:
         return per_sink_rows, snapshot_ids, routed_rows_total, input_rows
 
     def run(self, transcripts: DataFrame, batch_id: str,
-            request_id: str | None = None) -> LoadResult:
+            request_id: str | None = None, *,
+            with_agg: bool = True, with_audit: bool = True) -> LoadResult:
+        """with_agg/with_audit=False skip the per-batch aggregate and
+        audit commits — the LIGHT-EPOCH mode for streaming: a
+        micro-batch then costs ONE Spark job (the single-pass staged
+        write; counts ride it as Observations, lineage rides the
+        manifest entry keyed by epoch). The hourly aggregate belongs
+        to the incremental streaming query (hourly_counts_stream) in
+        that mode, not to a per-epoch batch shuffle."""
         cfg = self.config
         request_id = request_id or uuid.uuid4().hex
         state, acquired = self.manifest.get_or_create(batch_id, request_id)
@@ -522,12 +530,13 @@ class IngestPipeline:
             else:
                 raise ValueError(f"write_mode={cfg.write_mode!r}")
 
-            agg = self.aggregate(routed).withColumn("batch_id", F.lit(batch_id))
-            agg_snap = commit_append(
-                cfg.agg_table, agg.withColumn("timestamp", F.col("hour")),
-                ts_col="timestamp",
-            )
-            snapshot_ids[cfg.agg_table] = agg_snap["snapshot_id"]
+            if with_agg:
+                agg = self.aggregate(routed).withColumn("batch_id", F.lit(batch_id))
+                agg_snap = commit_append(
+                    cfg.agg_table, agg.withColumn("timestamp", F.col("hour")),
+                    ts_col="timestamp",
+                )
+                snapshot_ids[cfg.agg_table] = agg_snap["snapshot_id"]
 
             routed_rows = sum(
                 n for s, n in per_sink_rows.items() if s != cfg.dead_letter_table
@@ -542,19 +551,20 @@ class IngestPipeline:
                 )
             elapsed = time.time() - t0
 
-            audit = self.spark.createDataFrame(
-                [(
-                    request_id, batch_id, True, None,
-                    input_rows, routed_rows, float(elapsed),
-                    [(s, per_sink_rows[s], int(snapshot_ids[s]), True) for s in sinks],
-                )],
-                "request_id string, batch_id string, success boolean, error string, "
-                "input_rows bigint, routed_rows bigint, elapsed_sec double, "
-                "ingests array<struct<sink:string,log_count:bigint,snapshot_id:bigint,success:boolean>>",
-            ).withColumn("started_at", started_at)
-            # audit table month-partitioned on started_at (bigquery.go:77-83)
-            commit_append(cfg.audit_table, audit,
-                          partition_unit="month", ts_col="started_at")
+            if with_audit:
+                audit = self.spark.createDataFrame(
+                    [(
+                        request_id, batch_id, True, None,
+                        input_rows, routed_rows, float(elapsed),
+                        [(s, per_sink_rows[s], int(snapshot_ids[s]), True) for s in sinks],
+                    )],
+                    "request_id string, batch_id string, success boolean, error string, "
+                    "input_rows bigint, routed_rows bigint, elapsed_sec double, "
+                    "ingests array<struct<sink:string,log_count:bigint,snapshot_id:bigint,success:boolean>>",
+                ).withColumn("started_at", started_at)
+                # audit table month-partitioned on started_at (bigquery.go:77-83)
+                commit_append(cfg.audit_table, audit,
+                              partition_unit="month", ts_col="started_at")
 
             if cfg.persist_routed != "none":
                 routed.unpersist()

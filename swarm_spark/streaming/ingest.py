@@ -65,15 +65,41 @@ def start_ingest_stream(
     pipe: IngestPipeline,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    epoch_mode: str = "full",
 ):
-    """Continuous ingest: every micro-batch runs the full routed→sinks
-    →aggregate→audit pipeline exactly once (manifest keyed by epoch).
-    Replayed epochs after a crash are skipped — checkpoint + manifest
-    together give end-to-end exactly-once into icepack."""
+    """Continuous ingest: every micro-batch runs the routed→sinks
+    pipeline exactly once (manifest keyed by epoch). Replayed epochs
+    after a crash are skipped — checkpoint + manifest together give
+    end-to-end exactly-once into icepack.
+
+    epoch_mode:
+      'full'  — each epoch also commits the per-batch hourly aggregate
+                and an audit row (3 Spark jobs/epoch). Right for big,
+                infrequent epochs.
+      'light' — each epoch is ONE Spark job: the single-pass staged
+                write with per-sink directory adoption; counts ride
+                the job as Observations and per-epoch lineage lives in
+                the manifest entry (batch_id=epoch → snapshot ids),
+                which the stream-level audit can be derived from. The
+                hourly aggregate belongs to the INCREMENTAL streaming
+                query (hourly_counts_stream) instead of a per-epoch
+                batch shuffle — re-aggregating every epoch from
+                scratch is exactly the fixed cost a small-epoch stream
+                can't afford. routed is consumed once per epoch, so
+                the cache is skipped too.
+    """
+    if epoch_mode not in ("full", "light"):
+        raise ValueError(f"epoch_mode={epoch_mode!r}")
     pipe.config.assume_ordered = True
+    light = epoch_mode == "light"
+    if light:
+        pipe.config.persist_routed = "none"
+        if pipe.config.write_mode != "single_pass":
+            raise ValueError("epoch_mode='light' requires write_mode='single_pass'")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        pipe.run(batch_df, batch_id=f"epoch-{epoch_id:08d}")
+        pipe.run(batch_df, batch_id=f"epoch-{epoch_id:08d}",
+                 with_agg=not light, with_audit=not light)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

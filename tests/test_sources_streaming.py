@@ -148,3 +148,83 @@ class TestStreaming:
         pipe.config.assume_ordered = True
         exp = pipe.routed(t, ingest_id="x").count()
         assert got == exp
+
+
+class TestLightEpochs:
+    """VERDICT r2 #6: streaming epochs can reuse the single-pass
+    staged write WITHOUT the per-epoch aggregate/audit commits —
+    lineage rides the manifest, the hourly aggregate rides the
+    incremental streaming query."""
+
+    def test_light_stream_matches_batch_without_agg_audit(
+        self, spark, stream_setup, tmp_path
+    ):
+        from swarm_spark.streaming.ingest import (
+            start_ingest_stream,
+            stream_transcripts,
+        )
+
+        src, pipe, t = stream_setup
+        stream = stream_transcripts(spark, src, max_files_per_trigger=2)
+        q = start_ingest_stream(stream, pipe, str(tmp_path / "ckpt"),
+                                epoch_mode="light")
+        q.awaitTermination(120)
+
+        pipe.config.assume_ordered = True
+        exp = pipe.routed(t, ingest_id="x").groupBy("sink_table").count().collect()
+        exp_counts = {r.sink_table: r["count"] for r in exp}
+        got_counts = {
+            s: pipe.catalog.table(s).read(spark).count() for s in exp_counts
+        }
+        assert got_counts == exp_counts
+        # no per-epoch agg/audit commits in light mode
+        assert not pipe.catalog.table(pipe.config.agg_table).exists()
+        assert not pipe.catalog.table(pipe.config.audit_table).exists()
+        # restart over the same checkpoint: no duplicate appends
+        q2 = start_ingest_stream(
+            stream_transcripts(spark, src, max_files_per_trigger=2),
+            pipe, str(tmp_path / "ckpt"), epoch_mode="light")
+        q2.awaitTermination(120)
+        got2 = {s: pipe.catalog.table(s).read(spark).count() for s in exp_counts}
+        assert got2 == exp_counts
+
+    def test_light_epoch_is_one_spark_job(self, spark, stream_setup, tmp_path):
+        """Pin the per-epoch job count: a light epoch costs ONE Spark
+        job (the staged write); a full epoch costs that plus the agg
+        and audit commits."""
+        from swarm_spark.datagen import generate_transcripts
+        from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+        from swarm_spark.presets import (
+            default_event_rules,
+            default_schema_rules,
+            default_tool_dim,
+        )
+
+        t = generate_transcripts(spark, 500, n_convs=10, seed=3)
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+
+        def jobs_for(mode_kwargs, tag):
+            cfg = PipelineConfig(
+                event_rules=default_event_rules(),
+                schema_rules=default_schema_rules(),
+                warehouse=str(tmp_path / f"wh_{tag}"),
+                tool_dim=default_tool_dim(spark),
+                assume_ordered=True,
+                persist_routed="none",
+            )
+            pipe = IngestPipeline(spark, cfg)
+            sc.setJobGroup(f"jg-{tag}", tag)
+            try:
+                pipe.run(t, batch_id=f"b-{tag}", **mode_kwargs)
+            finally:
+                sc.setJobGroup(None, None)
+            return len(tracker.getJobIdsForGroup(f"jg-{tag}"))
+
+        full = jobs_for({}, "full")
+        light = jobs_for({"with_agg": False, "with_audit": False}, "light")
+        # One ACTION remains in light mode (the staged write); AQE
+        # reports its broadcast/shuffle stages as separate job ids, so
+        # the pin is an upper bound (measured: 5 light vs 11 full).
+        assert light <= 5, f"light epoch ran {light} jobs"
+        assert full > light, f"full={full} light={light}"
