@@ -632,7 +632,13 @@ def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe as-of join (chunked prefix-carry) under a PLANTED hot
     key: user_id % 3 collapses 150 users onto 3 — one key owns a third
     of all rows — and the result must still match DuckDB's ASOF JOIN
-    exactly (same oracle construction as asof_join, hot input)."""
+    exactly (same oracle construction as asof_join, hot input).
+
+    The right side is deduplicated to ONE signup per (uid, ts) —
+    max signup_id — in BOTH engines: with a 3-value key, same-instant
+    signups exist at larger sf, and an as-of match against duplicate
+    (key, ts) rows is engine-arbitrary; the dedup makes the join
+    well-defined (no-op when timestamps are unique per key)."""
     from swarm_spark.operators.joins import asof_join_salted
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
@@ -641,7 +647,8 @@ def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.select("uid", "event_id", "ts")
     right = (
         ev.filter(F.col("event_type") == "signup")
-        .select("uid", F.col("event_id").alias("signup_id"), F.col("ts").alias("sts"))
+        .groupBy("uid", F.col("ts").alias("sts"))
+        .agg(F.max("event_id").alias("signup_id"))
     )
     out = asof_join_salted(left, right, by="uid", left_ts="ts", right_ts="sts",
                            value_cols=["signup_id"], chunk_seconds=86400)
@@ -976,9 +983,11 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": """
             WITH ev AS (SELECT event_id, ts, user_id % 3 AS uid, event_type
                         FROM events)
-            SELECT l.uid, l.event_id, r.event_id AS signup_id
+            SELECT l.uid, l.event_id, r.signup_id
             FROM ev l
-            ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') r
+            ASOF LEFT JOIN (
+              SELECT uid, ts, max(event_id) AS signup_id
+              FROM ev WHERE event_type = 'signup' GROUP BY uid, ts) r
               ON l.uid = r.uid AND l.ts >= r.ts
         """,
         "dedup_minhash_keep": rf"""
