@@ -223,3 +223,55 @@ class TestGuardedCatalog:
         snap = g.table("t").append(df)
         assert snap["added_rows"] == 1
         assert g.supports_adopt is True
+
+
+class TestGuardedPipeline:
+    """End-to-end: the ingest pipeline itself runs against a
+    policy-fronted catalog — a denied principal cannot ingest, an
+    allowed one ingests normally and reads back filtered."""
+
+    POLICY = AccessPolicy(
+        allow_rules=[AllowRule("writer", (("role", "eq", "ingest"),)),
+                     AllowRule("reader", (("role", "eq", "analyst"),))],
+        row_filters=[RowFilter("role", "analyst",
+                               "role", "eq", "assistant", negate=False)],
+    )
+
+    def test_pipeline_through_guarded_catalog(self, spark, tmp_path):
+        from swarm_spark.auth import GuardedCatalog
+        from swarm_spark.datagen import generate_transcripts
+        from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+        from swarm_spark.presets import (
+            default_event_rules,
+            default_schema_rules,
+            default_tool_dim,
+        )
+        from swarm_spark.tablestore import IcepackCatalog
+
+        inner = IcepackCatalog(str(tmp_path / "wh"))
+        t = generate_transcripts(spark, 300, n_convs=10, seed=11)
+        cfg = PipelineConfig(
+            event_rules=default_event_rules(),
+            schema_rules=default_schema_rules(),
+            warehouse=str(tmp_path / "wh"),
+            tool_dim=default_tool_dim(spark),
+        )
+
+        # denied principal: the pipeline cannot commit anywhere
+        denied = IngestPipeline(spark, cfg, catalog=GuardedCatalog(
+            inner, self.POLICY, req(role="intern")))
+        with pytest.raises(Unauthorized):
+            denied.run(t, batch_id="b-denied")
+
+        # allowed writer: normal ingest through the SAME guard class
+        writer = IngestPipeline(spark, cfg, catalog=GuardedCatalog(
+            inner, self.POLICY, req(role="ingest")))
+        res = writer.run(t, batch_id="b-ok")
+        assert not res.skipped and res.routed_rows > 0
+
+        # analyst read-back is row-filtered by the same policy object
+        from swarm_spark.auth import GuardedCatalog as GC
+
+        analyst = GC(inner, self.POLICY, req(role="analyst"))
+        rows = analyst.table("sink_assistant").read(spark).collect()
+        assert rows and all(r.role == "assistant" for r in rows)
