@@ -701,8 +701,55 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter + PII scrub, value-checked: per-doc repeated
+    3-shingle ratio on the raw text, plus email/IP/phone counts and a
+    hash of the redacted output over text with PII planted
+    DETERMINISTICALLY from doc_id (both engines build the identical
+    input with SQL-expressible concat, so the redaction chain —
+    regexp syntax restricted to the Java∩RE2 subset — is verified
+    byte-for-byte cross-engine)."""
+    from swarm_spark.operators.textstats import (
+        pii_counts,
+        redact_pii,
+        repetition_ratio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" or +1555"), F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+    )
+    counts = pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        repetition_ratio("text").alias("rep3"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.md5(redact_pii(planted)).alias("redacted_md5"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 8-gram with a
+    deterministic benchmark subset (doc_id % 50 == 0) are flagged.
+    The benchmark shingle set broadcasts; the corpus side is a
+    broadcast LEFT SEMI join on exploded shingles — the big side
+    never shuffles (the shape that holds at 100 TB)."""
+    from swarm_spark.operators.dedup import flag_contaminated
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return flag_contaminated(docs, bench, k=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "repetition_pii": q_repetition_pii,
+    "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "text_stats": q_text_stats,
     "embedding_knn": q_embedding_knn,
@@ -1080,6 +1127,71 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id) AS rn
               FROM documents)
             SELECT doc_id, lang, source FROM h WHERE rn = 1
+        """,
+        "repetition_pii": r"""
+            WITH planted AS (
+              SELECT doc_id, text,
+                     text || ' reach u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com at 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || ' or +1555' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS p
+              FROM documents),
+            toks AS (
+              SELECT doc_id, p,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM planted),
+            sh AS (
+              SELECT doc_id, p,
+                     CASE WHEN len(t) >= 3
+                       THEN list_transform(generate_series(1, len(t) - 2),
+                                           i -> array_to_string(t[i:i+2], ' '))
+                       ELSE [array_to_string(t, ' ')] END AS shs
+              FROM toks),
+            red AS (
+              -- counts mirror the redaction CHAIN: each kind counted
+              -- with earlier kinds already replaced (an IPv4 would
+              -- otherwise also count as a phone-shaped digit run)
+              SELECT doc_id, shs, p,
+                     regexp_replace(p,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS r1
+              FROM sh),
+            red2 AS (
+              SELECT doc_id, shs, p, r1,
+                     regexp_replace(r1, '\b(\d{1,3}\.){3}\d{1,3}\b',
+                                    '<IP>', 'g') AS r2
+              FROM red)
+            SELECT doc_id,
+                   round((len(shs) - len(list_distinct(shs)))
+                         / greatest(len(shs), 1), 4) AS rep3,
+                   len(regexp_extract_all(p,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(r1,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+                   len(regexp_extract_all(r2,
+                       '\+?\d[\d().-]{7,}\d')) AS n_phone,
+                   md5(regexp_replace(r2,
+                       '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+            FROM red2
+        """,
+        "decontaminate": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 8
+                       THEN list_distinct(list_transform(
+                              generate_series(1, len(t) - 7),
+                              i -> array_to_string(t[i:i+7], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS shs
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0),
+            hits AS (SELECT DISTINCT doc_id FROM ex
+                     WHERE s IN (SELECT s FROM bench))
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+            FROM documents d
         """,
         "jaccard_pairs": rf"""
             WITH {_SHINGLES_BLOCK.strip()},

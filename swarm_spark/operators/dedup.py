@@ -506,6 +506,50 @@ def jaccard_pairs_inverted(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Test-set decontamination: flag every corpus doc sharing ANY
+    word k-gram with a benchmark/eval corpus (the n-gram-overlap
+    contamination check used before pre-training runs; k=8..13 is the
+    conventional window).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval sets are 10^3-10^6 docs), so its DISTINCT shingle set is
+    BROADCAST and the corpus side runs a broadcast LEFT SEMI hash
+    join on its exploded shingles — the 100 TB side never shuffles;
+    one narrow scan + explode per doc. Returns (id_col, contaminated
+    boolean) for every input doc.
+    """
+    doc_sh = docs.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("_s"))
+    bench_sh = (
+        benchmark.select(F.explode(shingles(bench_text_col, k)).alias("_s"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_s", "left_semi")
+        .select(id_col).distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -115,6 +115,60 @@ def fingerprint(col) -> Column:
     return F.md5(c)
 
 
+def repetition_ratio(col, k: int = 3) -> Column:
+    """Fraction of REPEATED word k-shingles in the doc:
+    (total - distinct) / total, 0 = no repetition. High values flag
+    boilerplate, scraped nav bars, and looped generations — the
+    Gopher-style repetition filter family. Pure Column exprs (counts
+    shingles WITH repeats, unlike dedup.shingles which de-dups)."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    total = F.size(sh)
+    return F.round((total - F.size(F.array_distinct(sh)))
+                   / F.greatest(total, F.lit(1)), 4)
+
+
+# PII redaction patterns — deliberately restricted to syntax valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backrefs. Order matters: emails first (contain dots/digits), then
+# IPs, then the greedy phone heuristic (earlier replacements leave no
+# digits behind, so later patterns cannot re-match inside them).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Replace email / IPv4 / phone-shaped spans with typed
+    placeholder tokens — the standard pre-training scrub pass. One
+    chained regexp_replace per pattern, JVM codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-kind PII match counts (for audit/metrics alongside the
+    redaction). Each kind is counted on the text with the EARLIER
+    patterns already redacted — mirroring the redact_pii chain — so a
+    span is attributed to exactly one kind (an IPv4 would otherwise
+    also count as a phone-shaped digit run)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, repl)
+    return out
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     feats = quality_features(text_col)
     return df.select(

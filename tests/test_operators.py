@@ -402,3 +402,76 @@ class TestIvfPartitionPruning:
         assert pf and any("_list" in ln for ln in pf), plan[:1500]
         # and the probe actually restricts the scan input
         assert topk.count() == 10
+
+
+class TestRepetitionPiiDecontamination:
+    """Round-3 training-pipeline additions: repetition filter, PII
+    scrub, benchmark decontamination."""
+
+    def test_repetition_ratio(self, spark):
+        from swarm_spark.operators.textstats import repetition_ratio
+
+        df = spark.createDataFrame(
+            [("a", "x y z x y z x y z"),   # 7 shingles, 3 distinct
+             ("b", "a b c d e f"),          # no repeats
+             ("c", "hi")],                  # short doc -> 1 shingle
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r.rep for r in df.select(
+            "doc_id", repetition_ratio("text").alias("rep")).collect()}
+        assert got["a"] == round((7 - 3) / 7, 4)
+        assert got["b"] == 0.0
+        assert got["c"] == 0.0
+
+    def test_redact_pii(self, spark):
+        from swarm_spark.operators.textstats import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [("mail bob@corp.example.org from 192.168.0.1 call +15551234567 ok",)],
+            "text string",
+        )
+        counts = pii_counts(F.col("text"))
+        row = df.select(
+            redact_pii("text").alias("red"),
+            counts["email"].alias("e"), counts["ipv4"].alias("i"),
+            counts["phone"].alias("p"),
+        ).collect()[0]
+        assert row.red == "mail <EMAIL> from <IP> call <PHONE> ok"
+        assert (row.e, row.i, row.p) == (1, 1, 1)
+
+    def test_redact_pii_clean_text_untouched(self, spark):
+        from swarm_spark.operators.textstats import redact_pii
+
+        df = spark.createDataFrame([("just words here",)], "text string")
+        assert df.select(redact_pii("text").alias("r")).collect()[0].r == \
+            "just words here"
+
+    def test_flag_contaminated(self, spark):
+        from swarm_spark.operators.dedup import flag_contaminated
+
+        bench = spark.createDataFrame(
+            [("q1", "the quick brown fox jumps over the lazy dog today")],
+            "doc_id string, text string",
+        )
+        docs = spark.createDataFrame(
+            [("d1", "intro text the quick brown fox jumps over the lazy dog today end"),
+             ("d2", "completely different words with no benchmark overlap at all"),
+             ("d3", "quick brown fox alone")],  # <8-gram overlap only
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r.contaminated
+               for r in flag_contaminated(docs, bench, k=8).collect()}
+        assert got == {"d1": True, "d2": False, "d3": False}
+
+    def test_flag_contaminated_is_broadcast(self, spark):
+        """The corpus side must not shuffle: the semi-join against the
+        benchmark shingles plans as a BroadcastHashJoin."""
+        from swarm_spark.operators.dedup import flag_contaminated
+
+        bench = spark.createDataFrame([("q", "a b c d e f g h")],
+                                      "doc_id string, text string")
+        docs = spark.createDataFrame([("d", "a b c d e f g h i")],
+                                     "doc_id string, text string")
+        plan = flag_contaminated(docs, bench, k=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
