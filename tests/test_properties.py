@@ -174,3 +174,57 @@ class TestBackfillProperties:
                 assert b.total_bytes <= max_bytes or b.n_objects == 1
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestTextOpProperties:
+    """Pure-python differential models for the r3 text operators —
+    run through Spark in small batches (deadline=None; one Spark job
+    per example set is too slow, so examples are batched per test)."""
+
+    def _spark(self):
+        from swarm_spark.session import get_spark
+
+        return get_spark("swarm_spark_tests", cpus=4, shuffle_partitions=4)
+
+    @given(st.lists(
+        st.text(alphabet="ab @.", min_size=0, max_size=40), min_size=1, max_size=20))
+    @settings(max_examples=20, deadline=None)
+    def test_repetition_ratio_differential(self, texts):
+        from swarm_spark.operators.textstats import repetition_ratio
+
+        spark = self._spark()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string")
+        got = {r.i: r.rep for r in df.select(
+            "i", repetition_ratio("text").alias("rep")).collect()}
+
+        def model(s: str) -> float:
+            toks = [t for t in s.strip().lower().split()] or [""]
+            if len(toks) >= 3:
+                sh = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+            else:
+                sh = [" ".join(toks)]
+            return round((len(sh) - len(set(sh))) / max(len(sh), 1), 4)
+
+        for i, t in enumerate(texts):
+            assert abs(got[i] - model(t)) < 1e-9, (t, got[i], model(t))
+
+    @given(st.lists(st.text(
+        alphabet="abc01.@+- ", min_size=0, max_size=60), min_size=1, max_size=20))
+    @settings(max_examples=20, deadline=None)
+    def test_redact_pii_idempotent(self, texts):
+        """redact(redact(x)) == redact(x): placeholders contain no
+        digits or '@', so a second pass never rewrites."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.operators.textstats import redact_pii
+
+        spark = self._spark()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string")
+        rows = df.select(
+            redact_pii("text").alias("once"),
+            redact_pii(redact_pii(F.col("text"))).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert r.once == r.twice

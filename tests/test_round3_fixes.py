@@ -394,3 +394,42 @@ def test_rowfilter_in_membership(spark):
 def test_rowfilter_unknown_op_rejected():
     with pytest.raises(ValueError, match="unknown op"):
         RowFilter("role", "analyst", "sink", "matches", "x")
+
+
+def test_staged_write_files_are_conversation_clustered(spark, tmp_path):
+    """The single-pass staged write sorts within partitions on
+    (conv_id, turn_idx) — each landed parquet file must be physically
+    sorted, which is the precondition for readers running with
+    assume_ordered=True (and for RLE/dict compression wins). Verified
+    on the actual files with pyarrow, not through Spark."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from swarm_spark.datagen import generate_transcripts
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+
+    t = generate_transcripts(spark, 600, n_convs=12, seed=5)
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=str(tmp_path / "wh"),
+        tool_dim=default_tool_dim(spark),
+    )
+    IngestPipeline(spark, cfg).run(t, batch_id="b1")
+
+    files = glob.glob(str(tmp_path / "wh" / "sink_user" / "data" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    checked = 0
+    for f in files:
+        tbl = pq.read_table(f, columns=["conv_id", "turn_idx"])
+        pairs = list(zip(tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist()))
+        assert pairs == sorted(pairs), f"unsorted file {f}"
+        checked += 1
+    assert checked > 0
