@@ -746,10 +746,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(docs, bench, k=8)
 
 
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL/domain filter, value-checked: URLs planted
+    deterministically from doc_id, a blocklist derived from the same
+    table (hosts site0..site4), and the flag computed by regex
+    extraction + broadcast semi-join — the corpus side never
+    shuffles."""
+    from swarm_spark.operators.textstats import flag_blocked_domains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/page"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    blocklist = (
+        docs.filter(F.col("doc_id") % 20 < 5)
+        .select(F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+                         F.lit(".example.com")).alias("domain"))
+        .distinct()
+    )
+    return flag_blocked_domains(planted, blocklist)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "repetition_pii": q_repetition_pii,
     "decontaminate": q_decontaminate,
+    "domain_filter": q_domain_filter,
     "jaccard_pairs": q_jaccard_pairs,
     "text_stats": q_text_stats,
     "embedding_knn": q_embedding_knn,
@@ -1191,6 +1218,28 @@ def oracle_sql() -> dict[str, str]:
                      WHERE s IN (SELECT s FROM bench))
             SELECT d.doc_id,
                    (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+            FROM documents d
+        """,
+        "domain_filter": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                          || '.example.com/page' || CAST(doc_id AS VARCHAR) AS p
+              FROM documents),
+            doms AS (
+              SELECT doc_id, lower(x) AS domain
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(p,
+                             'https?://([A-Za-z0-9.-]+)(/[^\s]*)?', 1)) AS x
+                    FROM planted)),
+            block AS (
+              SELECT DISTINCT 'site' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.com' AS domain
+              FROM documents WHERE doc_id % 20 < 5),
+            hits AS (SELECT DISTINCT doc_id FROM doms
+                     WHERE domain IN (SELECT domain FROM block))
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT doc_id FROM hits)) AS blocked
             FROM documents d
         """,
         "jaccard_pairs": rf"""

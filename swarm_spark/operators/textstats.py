@@ -169,6 +169,45 @@ def pii_counts(col) -> dict[str, Column]:
     return out
 
 
+# URL regex restricted to the Java∩RE2 subset (no lookaround); the
+# capture group 1 is the host.
+URL_RE = r"https?://([A-Za-z0-9.-]+)(/[^\s]*)?"
+
+
+def extract_domains(col) -> Column:
+    """Distinct lowercased hosts of every http(s) URL in the doc —
+    array<string>, JVM-side (regexp_extract_all on group 1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(c, F.lit(URL_RE), 1), lambda d: F.lower(d)
+        )
+    )
+
+
+def flag_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style domain filter: flag docs containing a URL whose host
+    is on a blocklist (one `domain` column). The blocklist is config-
+    sized → BROADCAST left-semi join on the exploded domains; the
+    corpus side never shuffles. Returns (id_col, blocked boolean)."""
+    doms = df.select(F.col(id_col), F.explode(extract_domains(text_col)).alias("domain"))
+    hits = (
+        doms.join(F.broadcast(blocklist.select("domain").distinct()), "domain", "left_semi")
+        .select(id_col).distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked"))
+    )
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     feats = quality_features(text_col)
     return df.select(

@@ -475,3 +475,35 @@ class TestRepetitionPiiDecontamination:
         plan = flag_contaminated(docs, bench, k=8)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_extract_domains_and_blocklist(self, spark):
+        from swarm_spark.operators.textstats import (
+            extract_domains,
+            flag_blocked_domains,
+        )
+
+        docs = spark.createDataFrame(
+            [("d1", "read http://Bad.Example.com/x and https://ok.org/y"),
+             ("d2", "no urls at all"),
+             ("d3", "https://also-fine.net")],
+            "doc_id string, text string",
+        )
+        doms = {r.doc_id: r.d for r in docs.select(
+            "doc_id", extract_domains("text").alias("d")).collect()}
+        assert doms["d1"] == ["bad.example.com", "ok.org"]
+        assert doms["d2"] == []
+
+        block = spark.createDataFrame([("bad.example.com",)], "domain string")
+        got = {r.doc_id: r.blocked
+               for r in flag_blocked_domains(docs, block).collect()}
+        assert got == {"d1": True, "d2": False, "d3": False}
+
+    def test_domain_filter_is_broadcast(self, spark):
+        from swarm_spark.operators.textstats import flag_blocked_domains
+
+        docs = spark.createDataFrame([("d", "https://a.com/z")],
+                                     "doc_id string, text string")
+        block = spark.createDataFrame([("a.com",)], "domain string")
+        plan = flag_blocked_domains(docs, block)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -433,3 +433,65 @@ def test_staged_write_files_are_conversation_clustered(spark, tmp_path):
         assert pairs == sorted(pairs), f"unsorted file {f}"
         checked += 1
     assert checked > 0
+
+
+def test_gen_sf_deterministic_and_fk_consistent(tmp_path):
+    """The scale-factor upsampler is deterministic (two runs produce
+    byte-identical tables) and keeps foreign keys valid across
+    copies; document copies share zero 3-shingles with the originals
+    (the property that keeps oracle cost linear in the copy count)."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    for tag in ("a", "b"):
+        subprocess.run(
+            [sys.executable, "tools/gen_sf.py", "--src", "/root/testdata/sf0.001",
+             "--dst", str(tmp_path / tag), "--copies", "3"],
+            check=True, cwd="/root/repo", capture_output=True,
+        )
+    import filecmp
+
+    for tbl in ("orders", "documents", "embeddings"):
+        assert filecmp.cmp(str(tmp_path / "a" / f"{tbl}.parquet"),
+                           str(tmp_path / "b" / f"{tbl}.parquet"), shallow=False)
+
+    con = duckdb.connect()
+    d = str(tmp_path / "a")
+    # FK integrity after key shifting
+    orphans = con.sql(f"""
+        SELECT count(*) FROM read_parquet('{d}/orders.parquet') o
+        LEFT JOIN read_parquet('{d}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL""").fetchone()[0]
+    assert orphans == 0
+    n_li = con.sql(f"""
+        SELECT count(*) FROM read_parquet('{d}/lineitem.parquet') l
+        LEFT JOIN read_parquet('{d}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL""").fetchone()[0]
+    assert n_li == 0
+    # copy-disjoint shingles: no doc text token survives un-mutated at
+    # positions 0 mod 3, so original/copy 3-shingle overlap is zero
+    overlap = con.sql(f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+                   FROM read_parquet('{d}/documents.parquet')),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3
+                        THEN list_transform(generate_series(1, len(t) - 2),
+                                            i -> array_to_string(t[i:i+2], ' '))
+                        ELSE [array_to_string(t, ' ')] END AS shs
+               FROM t),
+        ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        bound AS (SELECT max(doc_id) AS m
+                  FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        orig AS (SELECT DISTINCT s FROM ex WHERE doc_id <= (SELECT m FROM bound)),
+        copies AS (SELECT DISTINCT s FROM ex WHERE doc_id > (SELECT m FROM bound))
+        SELECT count(*) FROM copies WHERE s IN (SELECT s FROM orig)""").fetchone()[0]
+    assert overlap == 0
+    n_copies = con.sql(f"""
+        SELECT count(*) FROM read_parquet('{d}/documents.parquet')
+        WHERE doc_id > (SELECT max(doc_id)
+                        FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+        """).fetchone()[0]
+    assert n_copies > 0  # the copies partition is non-empty (no vacuous pass)
