@@ -378,6 +378,13 @@ class IngestPipeline:
             )
             per_sink_rows[s] = snap["added_rows"]
             snapshot_ids[s] = snap["snapshot_id"]
+        # every _sink= subdir has been moved into (or skipped by) its
+        # table; only writer marker files remain — don't leave one
+        # orphan dir per batch behind (10^4-batch backfills would
+        # litter the warehouse)
+        import shutil
+
+        shutil.rmtree(batch_dir, ignore_errors=True)
         routed_rows_total = total - counts.get(dl_name, 0)
         return per_sink_rows, snapshot_ids, routed_rows_total, input_rows
 
@@ -581,5 +588,11 @@ class IngestPipeline:
             for table_name, sid in reversed(attempt):
                 if self.catalog.table(table_name).rollback(sid):
                     committed.pop(table_name, None)
+            # a failed attempt's staging is useless (the retry stages
+            # under a fresh request_id) — reclaim it now
+            import shutil
+
+            shutil.rmtree(os.path.join(cfg.warehouse, "_batch", request_id),
+                          ignore_errors=True)
             self.manifest.update(batch_id, STATE_FAILED, committed)
             raise

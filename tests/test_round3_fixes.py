@@ -495,3 +495,31 @@ def test_gen_sf_deterministic_and_fk_consistent(tmp_path):
                         FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
         """).fetchone()[0]
     assert n_copies > 0  # the copies partition is non-empty (no vacuous pass)
+
+
+def test_no_orphan_batch_staging_after_run(spark, tmp_path):
+    """Successful single-pass runs must not leave one _batch/<request>
+    dir per batch behind (metadata litter at 10^4-batch backfills);
+    failed attempts reclaim their staging too."""
+    from swarm_spark.datagen import generate_transcripts
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+
+    t = generate_transcripts(spark, 300, n_convs=8, seed=2)
+    wh = str(tmp_path / "wh")
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=wh,
+        tool_dim=default_tool_dim(spark),
+    )
+    pipe = IngestPipeline(spark, cfg)
+    pipe.run(t, batch_id="b1")
+    pipe.run(t, batch_id="b2")
+    leftover = os.listdir(os.path.join(wh, "_batch")) \
+        if os.path.isdir(os.path.join(wh, "_batch")) else []
+    assert leftover == []
