@@ -190,14 +190,15 @@ def authorize(policy: AccessPolicy | None, request: dict) -> bool:
 
 class GuardedTable:
     """Policy-fronted table handle: reads come back row-filtered and
-    column-masked for the bound principal; every other table operation
-    (append, overwrite, adopt_dir, compact, rollback, ...) re-checks
-    authorize. Obtained via GuardedCatalog.table()."""
+    column-masked for the bound principal; EVERY other table method —
+    mutators and metadata alike, including ones future table classes
+    add — re-checks authorize via __getattr__, and snapshot metadata
+    (current_snapshot/snapshots) has masked columns scrubbed from its
+    embedded schema so no entry leaks column names the principal
+    cannot read. Obtained via GuardedCatalog.table()."""
 
-    _MUTATORS = frozenset({
-        "append", "overwrite", "adopt_dir", "merge_upsert",
-        "compact", "expire_snapshots", "rollback",
-    })
+    # metadata calls whose return value embeds a table schema
+    _SNAPSHOT_META = frozenset({"current_snapshot", "snapshots"})
 
     def __init__(self, inner, policy: AccessPolicy | None, request: dict):
         self._inner = inner
@@ -207,6 +208,32 @@ class GuardedTable:
     def _check(self):
         if self._policy is not None and not self._policy.authorize(self._request):
             raise Unauthorized("denied by policy")
+
+    def _masked_columns(self) -> set:
+        if self._policy is None:
+            return set()
+        return set(
+            self._policy.column_masks.get(
+                _dig(self._request, self._policy.mask_attr), []
+            )
+        )
+
+    def _scrub_snapshot(self, snap):
+        masked = self._masked_columns()
+        if not isinstance(snap, dict) or not masked or "schema" not in snap:
+            return snap
+        import json as _json
+
+        out = dict(snap)
+        try:
+            sch = _json.loads(snap["schema"])
+            sch["fields"] = [
+                f for f in sch.get("fields", []) if f.get("name") not in masked
+            ]
+            out["schema"] = _json.dumps(sch)
+        except (TypeError, ValueError):
+            out["schema"] = None  # unknown encoding: hide, never leak
+        return out
 
     def read(self, spark, *a, **kw) -> DataFrame:
         self._check()
@@ -235,10 +262,15 @@ class GuardedTable:
 
     def __getattr__(self, name):
         attr = getattr(self._inner, name)
-        if name in self._MUTATORS and callable(attr):
+        if callable(attr):
             def gated(*a, **kw):
                 self._check()
-                return attr(*a, **kw)
+                out = attr(*a, **kw)
+                if name in self._SNAPSHOT_META:
+                    if isinstance(out, list):
+                        return [self._scrub_snapshot(s) for s in out]
+                    return self._scrub_snapshot(out)
+                return out
 
             return gated
         return attr

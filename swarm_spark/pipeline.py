@@ -125,9 +125,15 @@ def _parquet_footer_rows(root: str) -> int | None:
     None for non-local paths (object stores) — the caller then uses
     the distributed count, which at that scale is metadata-bound
     anyway."""
-    if "://" in root and not root.startswith("file://"):
-        return None
-    path = root[len("file://"):] if root.startswith("file://") else root
+    from urllib.parse import urlparse
+
+    parsed = urlparse(root)
+    if parsed.scheme in ("", "file"):
+        # accepts bare paths plus every file-URI form Spark does
+        # (file:/x, file:///x) — urlparse normalizes all to .path
+        path = parsed.path or root
+    else:
+        return None  # object store → distributed fallback
     try:
         import pyarrow.parquet as pq
     except ImportError:

@@ -90,12 +90,17 @@ def start_ingest_stream(
     """
     if epoch_mode not in ("full", "light"):
         raise ValueError(f"epoch_mode={epoch_mode!r}")
-    pipe.config.assume_ordered = True
     light = epoch_mode == "light"
+    # validate BEFORE mutating the caller's config — a rejected call
+    # must not leave the pipe degraded for later batch use
+    if light and pipe.config.write_mode != "single_pass":
+        raise ValueError("epoch_mode='light' requires write_mode='single_pass'")
+    pipe.config.assume_ordered = True
     if light:
+        # the stream's pipe consumes routed exactly once per epoch;
+        # this (like assume_ordered) configures the pipe for the
+        # lifetime of the stream it now drives
         pipe.config.persist_routed = "none"
-        if pipe.config.write_mode != "single_pass":
-            raise ValueError("epoch_mode='light' requires write_mode='single_pass'")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         pipe.run(batch_df, batch_id=f"epoch-{epoch_id:08d}",

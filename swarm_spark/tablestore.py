@@ -201,49 +201,106 @@ class IcepackTable:
             tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
                 json.dump(snap, fh)
+            # Hold an exclusive flock on OUR inode for the whole
+            # claim→advance→verify window. Contenders test this lock
+            # before adopting (_adopt_orphan), so a stalled-but-LIVE
+            # owner can never be mistaken for a dead one — the lock
+            # vanishes exactly when the owner process does. (Advisory
+            # flock: correct on the local/posix fs this table format
+            # targets; an object-store deployment uses the catalog
+            # service's conditional puts instead.)
+            import fcntl
+
+            my_fd = os.open(tmp, os.O_RDONLY)
+            fcntl.flock(my_fd, fcntl.LOCK_EX)  # uncontended: private inode
             try:
-                os.link(tmp, self._snap_path(sid))  # exclusive claim
-                os.remove(tmp)
-            except FileExistsError:
-                claim_fails += 1
-                # A claim is only an ORPHAN if its writer died between
-                # claiming the snap file and advancing CURRENT. A live
-                # writer crosses that window in microseconds, so gate
-                # adoption on the claimed FILE's age (a real grace
-                # period), not just a fail count — fail counts can
-                # accumulate while progress is happening elsewhere.
                 try:
-                    claim_age = time.time() - os.path.getmtime(self._snap_path(sid))
-                except OSError:
-                    claim_age = 0.0
-                if (
-                    claim_fails >= 20
-                    and claim_age >= self.ADOPT_GRACE_SEC
-                    and self._current_id() == cur
-                ):
-                    os.replace(tmp, self._snap_path(sid))
-                else:
+                    os.link(tmp, self._snap_path(sid))  # exclusive claim
                     os.remove(tmp)
-                    time.sleep(0.005)
-                    continue
-            tmp2 = os.path.join(self.meta, f"CURRENT.tmp-{uuid.uuid4().hex}")
-            with open(tmp2, "w") as fh:
-                fh.write(str(sid))
-            os.replace(tmp2, os.path.join(self.meta, "CURRENT"))
-            # Post-advance verification: if an adopter replaced our
-            # claimed file while we were between claim and advance,
-            # the committed snapshot is THEIRS — retreat into the
-            # retry loop (cur==sid ≠ parent → rebase re-adds our dirs).
-            try:
-                with open(self._snap_path(sid)) as fh:
-                    committed = json.load(fh)
-            except (OSError, ValueError):
-                committed = {}
-            if committed.get("_writer") == writer_token:
-                return sid
-            claim_fails = 0
-            continue
+                except FileExistsError:
+                    claim_fails += 1
+                    # A claim is only an ORPHAN if its writer died
+                    # between claiming the snap file and advancing
+                    # CURRENT. Gate adoption on (a) a real grace period
+                    # (file age), (b) the owner's flock being free, and
+                    # (c) name/inode + CURRENT re-checks under our lock.
+                    try:
+                        claim_age = time.time() - os.path.getmtime(self._snap_path(sid))
+                    except OSError:
+                        claim_age = 0.0
+                    if not (
+                        claim_fails >= 20
+                        and claim_age >= self.ADOPT_GRACE_SEC
+                        and self._current_id() == cur
+                        and self._adopt_orphan(sid, tmp, cur)
+                    ):
+                        os.remove(tmp)
+                        time.sleep(0.005)
+                        continue
+                    # adopted: `tmp`'s inode (still flocked by us) now
+                    # owns the claim name
+                tmp2 = os.path.join(self.meta, f"CURRENT.tmp-{uuid.uuid4().hex}")
+                with open(tmp2, "w") as fh:
+                    fh.write(str(sid))
+                os.replace(tmp2, os.path.join(self.meta, "CURRENT"))
+                # Post-advance verification (defense in depth): if the
+                # claim name no longer carries OUR token, the commit is
+                # someone else's — retreat into the retry loop
+                # (cur==sid ≠ parent → rebase re-adds our dirs).
+                try:
+                    with open(self._snap_path(sid)) as fh:
+                        committed = json.load(fh)
+                except (OSError, ValueError):
+                    committed = {}
+                if committed.get("_writer") == writer_token:
+                    return sid
+                claim_fails = 0
+                continue
+            finally:
+                os.close(my_fd)  # releases the flock
         raise RuntimeError(f"commit contention on table {self.name}")
+
+    def _adopt_orphan(self, sid: int, tmp: str, cur: int | None) -> bool:
+        """Take over a claimed-but-unadvanced snap file whose owner
+        died mid-commit. Safe because of three checks done while
+        HOLDING the claim inode's flock:
+
+          1. the non-blocking flock itself succeeded — a LIVE owner
+             holds its lock from before the claim is published until
+             after it verifies its advance, so acquirable ⇒ owner dead
+             or finished;
+          2. finished owners have advanced CURRENT ⇒ the
+             _current_id() == cur re-check fails ⇒ no adoption;
+          3. the claim NAME still refers to the inode we locked
+             (fstat/stat ino match) — a previous adopter's replacement
+             cannot be clobbered, and nobody else can replace it while
+             we hold its lock (adoption requires this same lock).
+
+        On True, `tmp` (the caller's flocked inode) has been renamed
+        over the claim path and the caller proceeds as owner."""
+        import fcntl
+
+        path = self._snap_path(sid)
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:
+            return False  # vanished underneath us — retry loop handles it
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return False  # live owner mid-commit — back off
+            if self._current_id() != cur:
+                return False  # its owner finished; we must rebase
+            try:
+                if os.fstat(fd).st_ino != os.stat(path).st_ino:
+                    return False  # name changed hands since we opened it
+            except OSError:
+                return False
+            os.replace(tmp, path)
+            return True
+        finally:
+            os.close(fd)
 
     def rollback(self, snapshot_id: int) -> bool:
         """Undo a committed snapshot IF it is still CURRENT: point

@@ -523,3 +523,98 @@ def test_no_orphan_batch_staging_after_run(spark, tmp_path):
     leftover = os.listdir(os.path.join(wh, "_batch")) \
         if os.path.isdir(os.path.join(wh, "_batch")) else []
     assert leftover == []
+
+
+def test_locked_claim_never_adopted_even_when_stale(spark, tmp_path):
+    """A LIVE owner holds an flock on its claim inode across the whole
+    commit window; a contender must refuse adoption while the lock is
+    held — even when the file's mtime looks ancient (GC-pause / stall
+    case) — and may adopt once it is released."""
+    import fcntl
+
+    t = IcepackTable(str(tmp_path), "tbl")
+    t.append(spark.createDataFrame([(1,)], "a bigint"))
+    path = _plant_claim(t, sid=2, mtime_ago=120.0)  # stale-looking
+    fd = os.open(path, os.O_RDONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # simulate the live stalled owner
+    try:
+        with pytest.raises(RuntimeError, match="contention"):
+            t.append(spark.createDataFrame([(2,)], "a bigint"))
+        with open(path) as fh:
+            assert json.load(fh)["_writer"] == "other-writer"  # untouched
+    finally:
+        os.close(fd)
+    # lock released (owner died): now adoptable
+    snap = t.append(spark.createDataFrame([(3,)], "a bigint"))
+    assert snap["snapshot_id"] == 2
+    assert t.read(spark).count() == 2
+
+
+def test_guarded_metadata_never_leaks_masked_columns(spark, tmp_path):
+    """EVERY GuardedTable entry is gated and snapshot metadata is
+    scrubbed: a masked column's name must not be learnable via
+    current_snapshot()/snapshots(), and arbitrary methods re-check
+    authorize (code-review r3 finding)."""
+    from swarm_spark.auth import (
+        AccessPolicy,
+        AllowRule,
+        GuardedTable,
+        Unauthorized,
+    )
+
+    t = IcepackTable(str(tmp_path), "tbl")
+    t.append(spark.createDataFrame([("a", "s")], "k string, secret string"))
+    policy = AccessPolicy(
+        allow_rules=[AllowRule("any", (("role", "in", ["analyst", "admin"]),))],
+        column_masks={"analyst": ["secret"]},
+    )
+    req = {"role": "analyst"}
+    g = GuardedTable(t, policy, req)
+    snap = g.current_snapshot()
+    assert "secret" not in snap["schema"]
+    for s in g.snapshots():
+        assert "secret" not in s["schema"]
+    # admin still sees the full schema
+    g_admin = GuardedTable(t, policy, {"role": "admin"})
+    assert "secret" in g_admin.current_snapshot()["schema"]
+    # denied principal: even incidental metadata methods are gated
+    g_deny = GuardedTable(t, policy, {"role": "intern"})
+    with pytest.raises(Unauthorized):
+        g_deny.current_snapshot()
+    with pytest.raises(Unauthorized):
+        g_deny.exists()
+
+
+def test_footer_rows_accepts_file_uri(spark, tmp_path):
+    from swarm_spark.pipeline import _parquet_footer_rows
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(i,) for i in range(7)], "a bigint").write.parquet(p)
+    assert _parquet_footer_rows(p) == 7
+    assert _parquet_footer_rows("file:" + p) == 7
+    assert _parquet_footer_rows("file://" + p) == 7
+    assert _parquet_footer_rows("s3://bucket/x") is None
+
+
+def test_light_mode_rejection_leaves_config_untouched(spark, tmp_path):
+    from swarm_spark.datagen import generate_transcripts
+    from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+    from swarm_spark.presets import (
+        default_event_rules,
+        default_schema_rules,
+        default_tool_dim,
+    )
+    from swarm_spark.streaming.ingest import start_ingest_stream
+
+    cfg = PipelineConfig(
+        event_rules=default_event_rules(),
+        schema_rules=default_schema_rules(),
+        warehouse=str(tmp_path / "wh"),
+        tool_dim=default_tool_dim(spark),
+        write_mode="per_sink",
+    )
+    pipe = IngestPipeline(spark, cfg)
+    stream = generate_transcripts(spark, 10, n_convs=2, seed=1)  # placeholder df
+    with pytest.raises(ValueError, match="single_pass"):
+        start_ingest_stream(stream, pipe, str(tmp_path / "ck"), epoch_mode="light")
+    assert cfg.persist_routed == "memory_and_disk"  # not degraded

@@ -1,10 +1,18 @@
 """Dedup scaling probe at 10× the r2 measurement (500k docs).
 
 Builds the probe corpus IN SPARK from dist/sf1's 50k documents:
-K-1 extra copies with shifted ids and every-3rd-token mutation
-(JVM-side transform — same copy-disjoint-shingle construction as
-tools/gen_sf.py, so cross-copy Jaccard is exactly 0 and pair counts
-scale linearly with K). Measures the corpus-scale strategies only —
+K-1 extra copies with shifted ids and a token mutation at positions
+j % 3 == 1 (JVM-side transform). gen_sf.py already mutated positions
+j % 3 == 0 to differentiate sf1's own sub-copies, so the probe MUST
+use a different residue class: mutating the same positions would
+overwrite exactly the tokens that distinguish sf1's sub-copies and
+collapse each probe copy into 10-way identical duplicate groups
+(measured: 94,848/500,000 unique, ~2.3M planted J=1 pairs — kept in
+SCALE.md as the dup-heavy STRESS variant, reproducible with
+--collide). With the offset class, every 3-shingle spans both a
+probe-mutated and a gen_sf-mutated position, so cross-copy overlap
+stays zero AND sub-copy distinctions survive: pair counts scale
+linearly with K. Measures the corpus-scale strategies only —
 the exact inverted-index path is guarded out above 100k docs by
 design (SCALE.md):
 
@@ -34,9 +42,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def build_corpus(spark, src: str, copies: int):
+def build_corpus(spark, src: str, copies: int, collide: bool = False):
     docs = spark.read.parquet(f"{src}/documents.parquet")
     stride = 1_000_000_000  # far above any real doc_id
+    residue = 0 if collide else 1  # 0 reproduces the dup-heavy stress shape
     parts = [docs]
     for i in range(1, copies):
         toks = F.split(F.col("text"), " ")
@@ -44,7 +53,7 @@ def build_corpus(spark, src: str, copies: int):
             F.transform(
                 toks,
                 lambda t, j: F.when(
-                    j % 3 == 0, F.concat(F.lit(f"p{i}x"), j.cast("string"))
+                    j % 3 == residue, F.concat(F.lit(f"p{i}x"), j.cast("string"))
                 ).otherwise(t),
             ),
             " ",
@@ -68,6 +77,8 @@ def main():
     ap.add_argument("--src", default="dist/sf1")
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--collide", action="store_true",
+                    help="reproduce the dup-heavy stress corpus (collapsed copies)")
     args = ap.parse_args()
 
     from swarm_spark.session import get_spark
@@ -76,7 +87,7 @@ def main():
                       shuffle_partitions=args.cpus)
     from pyspark import StorageLevel
 
-    corpus = build_corpus(spark, args.src, args.copies).persist(
+    corpus = build_corpus(spark, args.src, args.copies, collide=args.collide).persist(
         StorageLevel.MEMORY_AND_DISK)
     n = corpus.count()
     print(json.dumps({"probe": "corpus", "docs": n, "copies": args.copies}))
