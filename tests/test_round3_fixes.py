@@ -618,3 +618,24 @@ def test_light_mode_rejection_leaves_config_untouched(spark, tmp_path):
     with pytest.raises(ValueError, match="single_pass"):
         start_ingest_stream(stream, pipe, str(tmp_path / "ck"), epoch_mode="light")
     assert cfg.persist_routed == "memory_and_disk"  # not degraded
+
+
+def test_infer_probe_path_detects_conflicts(spark, monkeypatch):
+    """Above PROBE_LEAF_THRESHOLD the presence check switches to the
+    all-strings probe parse — it must detect the same nested novelty
+    and type conflicts as the per-leaf path."""
+    import swarm_spark.pipeline_json as pj
+
+    monkeypatch.setattr(pj, "PROBE_LEAF_THRESHOLD", 0)  # force probe
+    docs = ['{"a":{"x":1}}'] * 3 + ['{"a":{"y":2}}'] * 2
+    schema = infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+    a = {f.name: f for f in schema.fields}["a"].dataType
+    assert {f.name for f in a.fields} == {"x", "y"}
+
+    docs = ['{"n":1}'] * 3 + ['{"n":1.5}'] * 2
+    schema = infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+    assert schema["n"].dataType.simpleString() == "double"
+
+    docs = ['{"v":1}'] * 3 + ['{"v":"abc"}'] * 2
+    with pytest.raises(SchemaConflictError):
+        infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
