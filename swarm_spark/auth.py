@@ -197,9 +197,6 @@ class GuardedTable:
     embedded schema so no entry leaks column names the principal
     cannot read. Obtained via GuardedCatalog.table()."""
 
-    # metadata calls whose return value embeds a table schema
-    _SNAPSHOT_META = frozenset({"current_snapshot", "snapshots"})
-
     def __init__(self, inner, policy: AccessPolicy | None, request: dict):
         self._inner = inner
         self._policy = policy
@@ -247,17 +244,11 @@ class GuardedTable:
         a principal must not learn column names it cannot read."""
         self._check()
         s = self._inner.schema()
-        if s is None or self._policy is None:
+        masked = self._masked_columns()
+        if s is None or not masked:
             return s
         from pyspark.sql import types as T
 
-        masked = set(
-            self._policy.column_masks.get(
-                _dig(self._request, self._policy.mask_attr), []
-            )
-        )
-        if not masked:
-            return s
         return T.StructType([f for f in s.fields if f.name not in masked])
 
     def __getattr__(self, name):
@@ -266,13 +257,20 @@ class GuardedTable:
             def gated(*a, **kw):
                 self._check()
                 out = attr(*a, **kw)
-                if name in self._SNAPSHOT_META:
-                    if isinstance(out, list):
-                        return [self._scrub_snapshot(s) for s in out]
+                # scrub masked columns out of ANY snapshot-shaped
+                # return value (current_snapshot, snapshots, and every
+                # mutator returns the committed snapshot dict) — no
+                # entry may leak column names the principal can't read
+                if isinstance(out, dict):
                     return self._scrub_snapshot(out)
+                if isinstance(out, list) and any(isinstance(s, dict) for s in out):
+                    return [self._scrub_snapshot(s) for s in out]
                 return out
 
             return gated
+        # non-callables (table name/paths) are still entries — gate
+        # them at access time so a denied principal learns nothing
+        self._check()
         return attr
 
 

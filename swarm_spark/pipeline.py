@@ -125,15 +125,17 @@ def _parquet_footer_rows(root: str) -> int | None:
     None for non-local paths (object stores) — the caller then uses
     the distributed count, which at that scale is metadata-bound
     anyway."""
-    from urllib.parse import urlparse
+    if root.startswith("file:"):
+        from urllib.parse import urlparse
 
-    parsed = urlparse(root)
-    if parsed.scheme in ("", "file"):
-        # accepts bare paths plus every file-URI form Spark does
-        # (file:/x, file:///x) — urlparse normalizes all to .path
-        path = parsed.path or root
-    else:
+        # every file-URI form Spark accepts (file:/x, file:///x)
+        path = urlparse(root).path or root
+    elif "://" in root:
         return None  # object store → distributed fallback
+    else:
+        # bare local path: use VERBATIM — urlparse would strip a
+        # literal '#' or '?' in a directory name as fragment/query
+        path = root
     try:
         import pyarrow.parquet as pq
     except ImportError:

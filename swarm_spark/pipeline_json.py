@@ -247,8 +247,15 @@ def _residual_predicate(col: str, schema) -> F.Column:
             if len(preds) >= MAX_COVERAGE_PATHS:
                 return
             child_parts = parts + (f_.name,)
+            # STRUCT/ARRAY fields must use the raw path even in probe
+            # mode: the probe preserves their shape, so a scalar where
+            # a struct/array is expected nulls the probe exactly like
+            # the typed parse and the conflict would go undetected.
+            # Scalar leaves are shape-free in the probe (string accepts
+            # any scalar/object), so the probe is sound for them.
+            nested = isinstance(f_.dataType, (T.StructType, T.ArrayType))
             present = (
-                probe_col[f_.name].isNotNull() if use_probe
+                probe_col[f_.name].isNotNull() if use_probe and not nested
                 else F.get_json_object(F.col(col), _jpath(child_parts)).isNotNull()
             )
             preds.append(parsed_col[f_.name].isNull() & present)

@@ -639,3 +639,54 @@ def test_infer_probe_path_detects_conflicts(spark, monkeypatch):
     docs = ['{"v":1}'] * 3 + ['{"v":"abc"}'] * 2
     with pytest.raises(SchemaConflictError):
         infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+
+
+def test_guarded_mutator_returns_scrubbed_and_noncallables_gated(spark, tmp_path):
+    """Snapshot dicts returned by MUTATORS are scrubbed too, and
+    non-callable attributes are gated (second review pass)."""
+    from swarm_spark.auth import (
+        AccessPolicy,
+        AllowRule,
+        GuardedTable,
+        Unauthorized,
+    )
+
+    t = IcepackTable(str(tmp_path), "tbl")
+    policy = AccessPolicy(
+        allow_rules=[AllowRule("any", (("role", "in", ["analyst"]),))],
+        column_masks={"analyst": ["secret"]},
+    )
+    g = GuardedTable(t, policy, {"role": "analyst"})
+    snap = g.append(spark.createDataFrame([("a", "s")], "k string, secret string"))
+    assert "secret" not in snap["schema"]          # append's return scrubbed
+    snap2 = g.overwrite(spark.createDataFrame([("b", "x")], "k string, secret string"))
+    assert "secret" not in snap2["schema"]
+    g_deny = GuardedTable(t, policy, {"role": "intern"})
+    with pytest.raises(Unauthorized):
+        g_deny.path  # identity/layout attrs are entries too
+    with pytest.raises(Unauthorized):
+        g_deny.name
+
+
+def test_infer_probe_detects_struct_vs_scalar(spark, monkeypatch):
+    """Probe mode must catch a SCALAR where the schema has a STRUCT
+    (the probe preserves struct shape, so presence for nested fields
+    comes from the raw path — second review pass)."""
+    import swarm_spark.pipeline_json as pj
+
+    monkeypatch.setattr(pj, "PROBE_LEAF_THRESHOLD", 0)  # force probe
+    docs = ['{"a":{"x":1}}'] * 3 + ['{"a":5}'] * 2
+    with pytest.raises(SchemaConflictError):
+        infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+    # array-vs-scalar likewise
+    docs = ['{"a":[1,2]}'] * 3 + ['{"a":7}'] * 2
+    with pytest.raises(SchemaConflictError):
+        infer_json_schema(spark, _docs_df(spark, docs), sample_rows=2)
+
+
+def test_footer_rows_path_with_special_chars(spark, tmp_path):
+    from swarm_spark.pipeline import _parquet_footer_rows
+
+    p = str(tmp_path / "wh#prod")
+    spark.createDataFrame([(1,), (2,)], "a bigint").write.parquet(p)
+    assert _parquet_footer_rows(p) == 2  # '#' not treated as a fragment
