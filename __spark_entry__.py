@@ -772,7 +772,31 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_blocked_domains(planted, blocklist)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: maximal repeated 8-token spans across the
+    corpus (suffix-array-family operator, Spark-shaped: shingle
+    positions -> partial-agg global frequency -> broadcast left-semi ->
+    islands merge). See operators/spans.py for the 100 TB shuffle
+    budget."""
+    from swarm_spark.operators.spans import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, k=8, min_freq=2, min_run=1)
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup removal path: every duplicated 8-token span excised
+    and the text reassembled in token order; value-checked against a
+    DuckDB string_agg oracle (exact clean_text equality per doc)."""
+    from swarm_spark.operators.spans import scrub_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scrub_duplicate_spans(docs, k=8, min_freq=2, min_run=1)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "span_dedup": q_span_dedup,
+    "span_scrub": q_span_scrub,
     "dedup_exact": q_dedup_exact,
     "repetition_pii": q_repetition_pii,
     "decontaminate": q_decontaminate,
@@ -1038,8 +1062,51 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
     """
 
 
+_SPAN_FLAG = """
+toks8 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh8 AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks8, LATERAL (SELECT unnest(range(1, greatest(len(t)-6, 1))) AS i)),
+dup8 AS (SELECT h FROM sh8 GROUP BY h HAVING count(*) >= 2),
+flag8 AS (SELECT doc_id, pos FROM sh8 WHERE h IN (SELECT h FROM dup8)),
+spans8 AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         count(*) AS n_shingles
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flag8)
+  GROUP BY doc_id, grp)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "span_dedup": f"""
+            WITH {_SPAN_FLAG.strip()}
+            SELECT doc_id, span_start, span_end, n_shingles FROM spans8
+        """,
+        "span_scrub": f"""
+            WITH {_SPAN_FLAG.strip()},
+            covered AS (
+              SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+              FROM spans8),
+            dtoks AS (
+              SELECT doc_id, i AS pos, t[i] AS tok
+              FROM toks8, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+            kept AS (
+              SELECT d.doc_id, d.pos, d.tok FROM dtoks d
+              WHERE NOT EXISTS (SELECT 1 FROM covered c
+                                WHERE c.doc_id = d.doc_id AND c.pos = d.pos)),
+            reasm AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_tokens_kept
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   len(t.t) AS n_tokens,
+                   len(t.t) - coalesce(r.n_tokens_kept, 0) AS n_tokens_removed
+            FROM toks8 t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+        """,
         "minhash_pairs": rf"""
             WITH {_SHINGLES.strip()},
             ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
