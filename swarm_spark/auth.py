@@ -102,7 +102,17 @@ def _dig(request: dict, attr: str):
 @dataclass(frozen=True)
 class RowFilter:
     """Row-level restriction for one principal attribute value: e.g.
-    role 'analyst' sees only rows where sink != 'sink_errors'."""
+    role 'analyst' sees only rows where sink != 'sink_errors'.
+
+    `table` (optional, fnmatch glob) scopes the filter to matching
+    table names: a filter on a column that exists only in some tables
+    MUST be scoped, otherwise reading an unrelated table that lacks
+    the column (or worse, has a same-named unrelated column) would
+    fail or silently mis-filter. Policy application is fail-closed on
+    ambiguity: an applicable filter whose column is absent from the
+    frame raises a configuration error naming the fix, and a
+    table-scoped filter evaluated against a frame with no table
+    identity raises rather than guessing (see AccessPolicy.apply)."""
 
     principal_attr: str   # request attr whose value selects the filter
     principal_value: str
@@ -110,6 +120,25 @@ class RowFilter:
     op: str
     value: str | tuple | list
     negate: bool = False
+    table: str | None = None  # fnmatch glob over table names; None = all
+
+    def applies_to(self, table_name: str | None) -> bool:
+        """Whether this filter targets the given table. Unscoped
+        filters target everything; scoped filters need a concrete
+        table name to match (None → no match decision possible; the
+        caller raises)."""
+        if self.table is None:
+            return True
+        if table_name is None:
+            raise ValueError(
+                f"row filter on {self.column!r} is scoped to table "
+                f"{self.table!r} but the frame has no table identity; "
+                "pass table_name= to AccessPolicy.apply (GuardedTable "
+                "does this automatically)"
+            )
+        import fnmatch
+
+        return fnmatch.fnmatchcase(table_name, self.table)
 
     def __post_init__(self):
         if self.op not in _OPS:
@@ -154,7 +183,9 @@ class AccessPolicy:
 
     allow_rules: list[AllowRule] = field(default_factory=list)
     row_filters: list[RowFilter] = field(default_factory=list)
-    # principal_value -> columns hidden from that principal
+    # principal_value -> columns hidden from that principal; an entry
+    # may be table-scoped as "glob:column" (e.g. "sink_*:text") —
+    # unscoped entries mask the column in every table
     column_masks: dict = field(default_factory=dict)
     mask_attr: str = "role"
     default_deny: bool = True
@@ -164,18 +195,52 @@ class AccessPolicy:
             return True
         return not self.default_deny
 
-    def apply(self, df: DataFrame, request: dict) -> DataFrame:
+    def masked_columns(self, request: dict, table_name: str | None = None) -> set:
+        """Effective masked-column set for this principal and table.
+        Table-scoped entries ("glob:column") with no table identity
+        available still mask (hiding extra is the safe direction,
+        unlike row filters where a wrong guess changes row sets)."""
+        import fnmatch
+
+        out = set()
+        for entry in self.column_masks.get(_dig(request, self.mask_attr), []):
+            if ":" in entry:
+                pat, col = entry.split(":", 1)
+                if table_name is None or fnmatch.fnmatchcase(table_name, pat):
+                    out.add(col)
+            else:
+                out.add(entry)
+        return out
+
+    def apply(
+        self, df: DataFrame, request: dict, table_name: str | None = None
+    ) -> DataFrame:
         """authorize + row/column restriction. Raises Unauthorized on
-        deny; otherwise returns the policy-narrowed DataFrame."""
+        deny; otherwise returns the policy-narrowed DataFrame.
+        table_name scopes table-qualified filters/masks; an applicable
+        row filter whose column the frame lacks is a configuration
+        error (raised with guidance), never a silent skip — a skipped
+        row filter would fail open."""
         if not self.authorize(request):
             raise Unauthorized("denied by policy")
         out = df
+        cols = set(df.columns)
         for rf in self.row_filters:
-            if _match(_dig(request, rf.principal_attr), "eq", rf.principal_value):
-                out = out.filter(rf.predicate())
-        masked = self.column_masks.get(_dig(request, self.mask_attr), [])
+            if not _match(_dig(request, rf.principal_attr), "eq", rf.principal_value):
+                continue
+            if not rf.applies_to(table_name):
+                continue
+            if rf.column not in cols:
+                raise ValueError(
+                    f"row filter on {rf.column!r} applies to "
+                    f"table {table_name or '<frame>'!r} but the column is "
+                    "absent; scope the filter with table='<glob>' so it "
+                    "targets only tables that carry the column"
+                )
+            out = out.filter(rf.predicate())
+        masked = self.masked_columns(request, table_name)
         if masked:
-            keep = [c for c in out.columns if c not in set(masked)]
+            keep = [c for c in out.columns if c not in masked]
             out = out.select(*keep)
         return out
 
@@ -209,10 +274,8 @@ class GuardedTable:
     def _masked_columns(self) -> set:
         if self._policy is None:
             return set()
-        return set(
-            self._policy.column_masks.get(
-                _dig(self._request, self._policy.mask_attr), []
-            )
+        return self._policy.masked_columns(
+            self._request, getattr(self._inner, "name", None)
         )
 
     def _scrub_snapshot(self, snap):
@@ -237,7 +300,9 @@ class GuardedTable:
         df = self._inner.read(spark, *a, **kw)
         if self._policy is None:
             return df
-        return self._policy.apply(df, self._request)
+        return self._policy.apply(
+            df, self._request, table_name=getattr(self._inner, "name", None)
+        )
 
     def schema(self):
         """Masked columns are hidden from the visible schema too —

@@ -235,7 +235,16 @@ class IcepackTable:
                         and self._adopt_orphan(sid, tmp, cur)
                     ):
                         os.remove(tmp)
-                        time.sleep(0.005)
+                        # back off exponentially once contention is
+                        # sustained: a flat 5 ms x 200 budget (~1 s)
+                        # would expire just as ADOPT_GRACE_SEC (1 s)
+                        # makes a dead writer's claim adoptable — the
+                        # capped ramp keeps total wait (~15 s) far past
+                        # the grace window while staying snappy in the
+                        # common quick-contention case
+                        time.sleep(
+                            0.005 * min(2.0 ** max(0, (claim_fails - 20) // 4), 20.0)
+                        )
                         continue
                     # adopted: `tmp`'s inode (still flocked by us) now
                     # owns the claim name

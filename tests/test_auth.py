@@ -275,3 +275,65 @@ class TestGuardedPipeline:
         analyst = GC(inner, self.POLICY, req(role="analyst"))
         rows = analyst.table("sink_assistant").read(spark).collect()
         assert rows and all(r.role == "assistant" for r in rows)
+
+
+class TestTableScopedPolicy:
+    """r3 ADVICE: RowFilter/column_masks apply per-table — a filter
+    for one table's column must not break (or silently mis-filter)
+    reads of unrelated tables."""
+
+    def _cat(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path / "wh"))
+        cat.table("sink_events").append(spark.createDataFrame(
+            [("sink_errors", "a"), ("sink_user", "b")], "sink string, x string"))
+        # unrelated table: NO 'sink' column, and a 'text' column
+        cat.table("notes").append(spark.createDataFrame(
+            [("n1", "hello")], "note_id string, text string"))
+        return cat
+
+    POLICY = AccessPolicy(
+        allow_rules=[AllowRule("any", (("role", "rlike", "."),))],
+        row_filters=[RowFilter("role", "analyst", "sink", "eq", "sink_errors",
+                               negate=True, table="sink_*")],
+        column_masks={"analyst": ["notes:text"]},
+    )
+
+    def test_scoped_filter_hits_matching_table_only(self, spark, tmp_path):
+        from swarm_spark.auth import GuardedCatalog
+
+        g = GuardedCatalog(self._cat(spark, tmp_path), self.POLICY,
+                           req(role="analyst"))
+        rows = g.table("sink_events").read(spark).collect()
+        assert {r.sink for r in rows} == {"sink_user"}
+        # unrelated table (no 'sink' column) reads fine — scoped filter skipped
+        assert g.table("notes").read(spark).count() == 1
+
+    def test_scoped_mask_hits_matching_table_only(self, spark, tmp_path):
+        from swarm_spark.auth import GuardedCatalog
+
+        g = GuardedCatalog(self._cat(spark, tmp_path), self.POLICY,
+                           req(role="analyst"))
+        assert g.table("notes").read(spark).columns == ["note_id"]
+        # same-named column elsewhere is untouched by the scoped mask
+        assert "x" in g.table("sink_events").read(spark).columns
+
+    def test_unscoped_filter_on_absent_column_raises_with_guidance(self, spark):
+        p = AccessPolicy(
+            allow_rules=[AllowRule("any", (("role", "rlike", "."),))],
+            row_filters=[RowFilter("role", "analyst", "sink", "eq", "v")],
+        )
+        df = spark.createDataFrame([("n1",)], "note_id string")
+        with pytest.raises(ValueError, match="scope the filter"):
+            p.apply(df, req(role="analyst"), table_name="notes")
+
+    def test_scoped_filter_without_table_identity_raises(self, spark):
+        p = AccessPolicy(
+            allow_rules=[AllowRule("any", (("role", "rlike", "."),))],
+            row_filters=[RowFilter("role", "analyst", "sink", "eq", "v",
+                                   table="sink_*")],
+        )
+        df = spark.createDataFrame([("sink_errors",)], "sink string")
+        with pytest.raises(ValueError, match="no table identity"):
+            p.apply(df, req(role="analyst"))
