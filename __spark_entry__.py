@@ -794,8 +794,24 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicate_spans(docs, k=8, min_freq=2, min_run=1)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode roundtrip: deterministic PNG/WAV payloads are
+    encoded then decoded with the stdlib codecs (media_codecs.py); the
+    oracle predicts every decoded value arithmetically from the
+    generation formulas — value-checks the actual byte-level decoders,
+    not just the plumbing."""
+    from swarm_spark.operators.multimodal import (
+        decode_media,
+        encoded_media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_media(encoded_media_from_documents(docs, limit_ids=100))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
+    "media_decode": q_media_decode,
     "span_scrub": q_span_scrub,
     "dedup_exact": q_dedup_exact,
     "repetition_pii": q_repetition_pii,
@@ -1081,6 +1097,39 @@ spans8 AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "media_decode": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+            png AS (
+              SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 8 + 3 AS h,
+                     doc_id % 5 + 1 AS step
+              FROM ids WHERE doc_id % 2 = 0),
+            pngv AS (
+              SELECT doc_id, w, h,
+                     avg((i * step) % 256) AS m,
+                     min((i * step) % 256) AS mn,
+                     max((i * step) % 256) AS mx
+              FROM png, LATERAL (SELECT unnest(range(0, w * h)) AS i)
+              GROUP BY doc_id, w, h),
+            wav AS (
+              SELECT doc_id, doc_id % 50 + 20 AS n, doc_id % 7 + 1 AS step
+              FROM ids WHERE doc_id % 2 = 1),
+            wavv AS (
+              SELECT doc_id, n,
+                     avg((i * step) % 200 - 100) AS m,
+                     min((i * step) % 200 - 100) AS mn,
+                     max((i * step) % 200 - 100) AS mx
+              FROM wav, LATERAL (SELECT unnest(range(0, n)) AS i)
+              GROUP BY doc_id, n)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id, 'png' AS fmt,
+                   w AS width, h AS height, 1 AS n_channels,
+                   NULL AS n_samples, NULL AS framerate, NULL AS duration_ms,
+                   m AS value_mean, mn AS value_min, mx AS value_max
+            FROM pngv
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'wav',
+                   NULL, NULL, 1, n, 8000, n * 1000 // 8000, m, mn, mx
+            FROM wavv
+        """,
         "span_dedup": f"""
             WITH {_SPAN_FLAG.strip()}
             SELECT doc_id, span_start, span_end, n_shingles FROM spans8

@@ -2,19 +2,32 @@
 
 Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]:
-  * ingest_e2e   — full parse→enrich→route→aggregate→sink-commit run
-                   over transcripts derived from events (exactly-once
-                   machinery included; the north_rule metric's numerator
-                   is this stage's turns/sec)
-  * route_agg    — routed+aggregate plan only (no sink writes)
-  * gen_route_1m — 1M-row generated skewed transcripts through route+agg
-                   (exercises the Zipf hot-key path at larger-than-sf
-                   row counts)
+  * ingest_e2e    — full parse→enrich→route→aggregate→sink-commit run
+                    over the materialized transcripts table (exactly-once
+                    machinery included; the north_rule metric's numerator
+                    is this stage's turns/sec)
+  * ingest_1m_e2e — same, at 1M generated rows (amortizes fixed commit
+                    costs; the representative e2e turns/sec)
+  * route_agg / gen_route_1m — routed+aggregate plan only
+  * streaming_ingest — Structured Streaming availableNow over the same
+                    transcripts (light-epoch foreachBatch into icepack)
   * tpch_q1, broadcast_join — generic scan/agg/join reference points
+  * curation_pipeline, minhash_dedup, span_dedup, cosine_topk —
+                    training-data operators
+
+NOISE DISCIPLINE (r3 verdict #1): the sandbox host is shared and a
+single measurement window can be inflated 3-5× by co-tenant steal —
+r3's driver artifact recorded a phantom 1.6× "regression" a quiet-host
+re-run disproved. So this harness runs every query in >=3 INTERLEAVED
+rounds (round-robin across queries, so a slow window hits all queries
+equally rather than one), reports the MIN per query, and stamps
+os.getloadavg() at each round start into the JSON — the artifact
+self-documents its measurement-window quality. Override rounds with
+$SPARK_GRAFT_BENCH_ROUNDS.
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
-tools/scaling_bench.py which shells out to this file at two
-parallelism levels; see BENCH.md / BASELINE.md.
+tools/scaling_bench.py which runs the pipeline job at two parallelism
+levels in fresh JVMs; see BENCH.md / BASELINE.md.
 """
 
 from __future__ import annotations
@@ -31,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 GEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_GEN_ROWS", "1000000"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
 
 def main() -> None:
@@ -46,28 +60,8 @@ def main() -> None:
     spark = get_spark("swarm_spark_bench", cpus=CPUS, shuffle_partitions=CPUS)
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
 
-    timings: dict[str, float] = {}
     extras: dict[str, float] = {}
-
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
-
-    # the sandbox host is shared: a noisy-neighbor spike can inflate a
-    # single-shot measurement 3-5×; headline e2e numbers take the MIN
-    # of two runs (fresh warehouse + batch id each — full work both
-    # times, exactly-once gate not short-circuited)
-    def timed_min2(name: str, mkfn):
-        best, out = None, None
-        for i in range(2):
-            t0 = time.time()
-            out = mkfn(i)()
-            sec = time.time() - t0
-            best = sec if best is None else min(best, sec)
-        timings[name] = round(best, 3)
-        return out
+    results: dict[str, object] = {}
 
     def mkpipe(warehouse: str) -> IngestPipeline:
         cfg = PipelineConfig(
@@ -100,7 +94,6 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_wh, ignore_errors=True)
 
-    # -- ingest_e2e -------------------------------------------------
     # The pipeline's input contract is a TRANSCRIPTS table (north_star:
     # "Iceberg table of multi-turn transcripts"); the events→transcripts
     # derivation (a window shuffle) is this harness's way of building
@@ -110,67 +103,94 @@ def main() -> None:
     t_path = tempfile.mkdtemp(prefix="swarm_bench_t_")
     transcripts_from_events(spark, SF_DIR).write.mode("overwrite").parquet(t_path)
     t = spark.read.parquet(t_path)
-    whs = [tempfile.mkdtemp(prefix="swarm_bench_wh_") for _ in range(2)]
-    try:
-        res = timed_min2(
-            "ingest_e2e",
-            lambda i: (lambda: mkpipe(whs[i]).run(t, batch_id=f"bench{i}")),
-        )
-        extras["ingest_turns_per_sec"] = round(res.input_rows / timings["ingest_e2e"], 1)
-        extras["ingest_input_rows"] = res.input_rows
-        extras["ingest_routed_rows"] = res.routed_rows
-    finally:
-        for wh in whs:
-            shutil.rmtree(wh, ignore_errors=True)
+    n_t = t.count()
 
-    # -- route_agg (plan only, count action) ------------------------
-    pipe2 = mkpipe(tempfile.mkdtemp(prefix="swarm_bench_wh2_"))
-    timed("route_agg", lambda: pipe2.aggregate(pipe2.routed(t)).count())
-    shutil.rmtree(t_path, ignore_errors=True)
-
-    # -- generated skewed transcripts at 1M rows --------------------
-    gen = generate_transcripts(spark, GEN_ROWS, seed=42)
-    timed("gen_route_1m", lambda: pipe2.aggregate(pipe2.routed(gen)).count())
-    extras["gen_rows"] = GEN_ROWS
-    extras["gen_turns_per_sec"] = round(GEN_ROWS / timings["gen_route_1m"], 1)
-
-    # -- END-TO-END ingest at 1M rows (sinks+agg+audit committed):
-    # amortizes the fixed per-commit costs that dominate ingest_e2e at
-    # sf scale, giving the representative e2e turns/sec
     gen_path = tempfile.mkdtemp(prefix="swarm_bench_gen_")
-    gen.write.mode("overwrite").parquet(gen_path)
+    generate_transcripts(spark, GEN_ROWS, seed=42).write.mode("overwrite").parquet(
+        gen_path
+    )
     gen_in = spark.read.parquet(gen_path)
-    wh3s = [tempfile.mkdtemp(prefix="swarm_bench_wh3_") for _ in range(2)]
-    try:
-        res3 = timed_min2(
-            "ingest_1m_e2e",
-            lambda i: (lambda: mkpipe(wh3s[i]).run(gen_in, batch_id=f"bench1m{i}")),
-        )
-        extras["ingest_1m_turns_per_sec"] = round(GEN_ROWS / timings["ingest_1m_e2e"], 1)
-        extras["ingest_1m_routed_rows"] = res3.routed_rows
-    finally:
-        for wh3 in wh3s:
-            shutil.rmtree(wh3, ignore_errors=True)
-        shutil.rmtree(gen_path, ignore_errors=True)
 
-    # -- generic reference queries ----------------------------------
+    pipe_ro = mkpipe(tempfile.mkdtemp(prefix="swarm_bench_wh_ro_"))
+
     import __spark_entry__ as e
 
-    timed("tpch_q1", lambda: e.q_tpch_q1(spark, SF_DIR).collect())
-    timed("broadcast_join", lambda: e.q_broadcast_join(spark, SF_DIR).collect())
+    # ---- job table: name -> fn(round_idx) -> result ------------------
+    # Fresh warehouse/checkpoint per CALL for the committing jobs (the
+    # exactly-once gate must never short-circuit a later round); the
+    # mkdtemp is microseconds and inside the timed region, teardown is
+    # outside it (post_cleanup).
+    post_cleanup: list[str] = []
 
-    # -- training-data operators (first-class at 100 TB) -------------
-    # curation = exact dedup → near-dup drop → quality gate, composed;
-    # minhash = LSH candidate gen + exact verify over the full corpus;
-    # cosine_topk = brute-force scan top-k (quantized scorer)
-    n_docs = timed_min2("curation_pipeline",
-                        lambda i: (lambda: e.q_curation(spark, SF_DIR).count()))
-    extras["curation_docs_kept"] = int(n_docs)
-    extras["curation_docs_per_sec"] = round(n_docs / timings["curation_pipeline"], 1)
-    timed_min2("minhash_dedup",
-               lambda i: (lambda: e.q_minhash_pairs(spark, SF_DIR).count()))
-    timed_min2("cosine_topk",
-               lambda i: (lambda: e.q_cosine_topk(spark, SF_DIR).collect()))
+    def _fresh(prefix: str) -> str:
+        d = tempfile.mkdtemp(prefix=prefix)
+        post_cleanup.append(d)
+        return d
+
+    def j_ingest_e2e(i: int):
+        return mkpipe(_fresh("swarm_bwh_")).run(t, batch_id=f"bench{i}")
+
+    def j_ingest_1m(i: int):
+        return mkpipe(_fresh("swarm_bwh1m_")).run(gen_in, batch_id=f"bench1m{i}")
+
+    def j_streaming(i: int):
+        from swarm_spark.streaming.ingest import start_ingest_stream, stream_transcripts
+
+        pipe = mkpipe(_fresh("swarm_bwhs_"))
+        stream = stream_transcripts(spark, t_path, max_files_per_trigger=8)
+        q = start_ingest_stream(
+            stream, pipe, checkpoint_dir=_fresh("swarm_bck_"), epoch_mode="light"
+        )
+        q.awaitTermination()
+        return q.lastProgress
+
+    jobs = {
+        "ingest_e2e": j_ingest_e2e,
+        "route_agg": lambda i: pipe_ro.aggregate(pipe_ro.routed(t)).count(),
+        "gen_route_1m": lambda i: pipe_ro.aggregate(pipe_ro.routed(gen_in)).count(),
+        "ingest_1m_e2e": j_ingest_1m,
+        "streaming_ingest": j_streaming,
+        "tpch_q1": lambda i: e.q_tpch_q1(spark, SF_DIR).collect(),
+        "broadcast_join": lambda i: e.q_broadcast_join(spark, SF_DIR).collect(),
+        "curation_pipeline": lambda i: e.q_curation(spark, SF_DIR).count(),
+        "minhash_dedup": lambda i: e.q_minhash_pairs(spark, SF_DIR).count(),
+        "span_dedup": lambda i: e.q_span_dedup(spark, SF_DIR).count(),
+        "cosine_topk": lambda i: e.q_cosine_topk(spark, SF_DIR).collect(),
+    }
+
+    times: dict[str, list[float]] = {name: [] for name in jobs}
+    rounds_meta: list[dict] = []
+    for r in range(ROUNDS):
+        meta = {"loadavg": [round(x, 2) for x in os.getloadavg()], "queries": {}}
+        for name, fn in jobs.items():
+            t0 = time.time()
+            results[name] = fn(r)
+            sec = round(time.time() - t0, 3)
+            times[name].append(sec)
+            meta["queries"][name] = sec
+            while post_cleanup:
+                shutil.rmtree(post_cleanup.pop(), ignore_errors=True)
+        rounds_meta.append(meta)
+
+    timings = {name: min(ts) for name, ts in times.items()}
+
+    res = results["ingest_e2e"]
+    extras["ingest_turns_per_sec"] = round(n_t / timings["ingest_e2e"], 1)
+    extras["ingest_input_rows"] = n_t
+    extras["ingest_routed_rows"] = res.routed_rows
+    extras["gen_rows"] = GEN_ROWS
+    extras["gen_turns_per_sec"] = round(GEN_ROWS / timings["gen_route_1m"], 1)
+    extras["ingest_1m_turns_per_sec"] = round(GEN_ROWS / timings["ingest_1m_e2e"], 1)
+    extras["ingest_1m_routed_rows"] = results["ingest_1m_e2e"].routed_rows
+    extras["streaming_turns_per_sec"] = round(n_t / timings["streaming_ingest"], 1)
+    extras["curation_docs_kept"] = int(results["curation_pipeline"])
+    extras["curation_docs_per_sec"] = round(
+        results["curation_pipeline"] / timings["curation_pipeline"], 1
+    )
+    extras["span_dedup_spans"] = int(results["span_dedup"])
+
+    shutil.rmtree(t_path, ignore_errors=True)
+    shutil.rmtree(gen_path, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -180,6 +200,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
+        "bench_rounds": ROUNDS,
+        "per_query_min_of_rounds": True,
+        "rounds": rounds_meta,
         **extras,
     }))
 

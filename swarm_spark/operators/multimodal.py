@@ -73,11 +73,14 @@ def extract_features(
     inherently per-row, but pandas iterrows adds ~10× constant
     overhead the kernel never needs to pay)."""
     if decoder == "real":
-        raise NotImplementedError(
-            "real decoders need PIL/soundfile/ffmpeg — not in this container; "
-            "pass a callable kernel (bytes, dim) -> np.ndarray instead"
-        )
-    if decoder == "fake":
+        # stdlib-real: png + 16-bit pcm wav decode fully (media_codecs);
+        # codec-library formats (jpeg/mp3/mp4...) raise inside the
+        # kernel — the capability boundary, narrowed to where the
+        # stdlib truly cannot go
+        from .media_codecs import real_feature_kernel
+
+        kernel = real_feature_kernel
+    elif decoder == "fake":
         kernel = _fake_decode
     elif callable(decoder):
         kernel = decoder
@@ -115,6 +118,50 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+DECODE_SCHEMA = (
+    "media_id string, fmt string, width int, height int, n_channels int, "
+    "n_samples int, framerate int, duration_ms int, "
+    "value_mean double, value_min int, value_max int"
+)
+
+
+def decode_media(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Real metadata extraction over a binary media column: one
+    mapInPandas pass per partition decodes each payload with the
+    stdlib codecs (media_codecs.decode_meta — png + pcm wav) and drops
+    the blob in the same projection, so only the small typed metadata
+    row ever moves downstream (the 100 TB contract shared with
+    extract_features).
+
+    on_error: 'raise' propagates NotImplementedError for codec-library
+    formats; 'null' emits the row with fmt=sniff(payload) and all
+    decoded fields NULL — the triage mode for mixed-format lakes."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error={on_error!r}")
+    from .media_codecs import decode_meta, sniff
+
+    cols = [f.split(" ")[0] for f in DECODE_SCHEMA.split(", ")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    meta = decode_meta(buf)
+                except NotImplementedError:
+                    if on_error == "raise":
+                        raise
+                    meta = {c: None for c in cols[1:]}
+                    meta["fmt"] = sniff(buf)
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame, limit_ids: int | None = 100) -> DataFrame:
     """Deterministic media table derived from the documents corpus:
     payload = utf-8 bytes of the text, kind cycles by doc_id % 3.
@@ -138,6 +185,50 @@ def media_from_documents(docs: DataFrame, limit_ids: int | None = 100) -> DataFr
         F.lit(None).cast("int").alias("duration_ms"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+
+
+def encoded_media_from_documents(docs: DataFrame, limit_ids: int = 100) -> DataFrame:
+    """REAL-encoded deterministic media fixture: even doc_ids become
+    8-bit grayscale PNGs, odd doc_ids 16-bit PCM WAVs, with pixel /
+    sample values generated by closed-form doc_id formulas —
+
+        png: w = id%16+4, h = id%8+3, pixel[i] = (i*(id%5+1)) % 256
+        wav: n = id%50+20, rate 8000, sample[i] = (i*(id%7+1)) % 200 - 100
+
+    so after a real encode→decode roundtrip (media_codecs) EVERY
+    decoded value (dims, channels, duration, mean/min/max) is
+    predictable arithmetically — the DuckDB oracle for decode_media
+    recomputes them from the same formulas without touching a byte
+    (__spark_entry__.oracle_sql()['media_decode'])."""
+    from pyspark.sql import functions as F
+
+    from .media_codecs import png_encode, wav_encode
+
+    base = docs.filter(F.col("doc_id") < limit_ids).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for d in pdf["doc_id"].to_numpy():
+                d = int(d)
+                if d % 2 == 0:
+                    w, h, step = d % 16 + 4, d % 8 + 3, d % 5 + 1
+                    px = (np.arange(w * h) * step % 256).astype(np.uint8)
+                    kinds.append("image")
+                    payloads.append(png_encode(px.reshape(h, w)))
+                else:
+                    n, step = d % 50 + 20, d % 7 + 1
+                    s = (np.arange(n) * step % 200 - 100).astype(np.int16)
+                    kinds.append("audio")
+                    payloads.append(wav_encode(s, framerate=8000))
+                ids.append(str(d))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return base.mapInPandas(gen, "media_id string, kind string, payload binary")
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
