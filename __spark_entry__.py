@@ -437,13 +437,16 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conv_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation reassembly: ordered concatenation of turn
-    texts (the transcript-native groupwise sort-aggregate)."""
+    texts (the transcript-native groupwise sort-aggregate), through
+    the bounded-memory guard (operators/reassembly.py: corpus max is
+    99 turns/conversation at sf1; the guard fails loud on pathological
+    streams before any executor builds an unbounded buffer)."""
+    from swarm_spark.operators.reassembly import reassemble_conversations
+
     t = transcripts_from_events(spark, sf_dir)
-    ordered = F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
-    return t.groupBy("conv_id").agg(
-        F.count(F.lit(1)).alias("n_turns"),
-        F.md5(F.concat_ws("\n", F.transform(ordered, lambda s: s["text"])))
-        .alias("conv_text_md5"),
+    out = reassemble_conversations(t, max_turns=100_000, on_oversize="raise")
+    return out.select(
+        "conv_id", "n_turns", F.md5("conv_text").alias("conv_text_md5")
     )
 
 
