@@ -812,9 +812,62 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(encoded_media_from_documents(docs, limit_ids=100))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(8, |stratum|)
+    docs per (lang, source) by seeded md5 rank (8 < the largest
+    stratum, so the cap genuinely selects) — same sample on any
+    cluster/partitioning; value-checked against DuckDB recomputing the
+    identical hash ranks."""
+    from swarm_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, ["lang", "source"], n_per_stratum=8, seed=7
+    ).select("doc_id", "lang", "source")
+
+
+def q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-shard training order (seeded md5 rank within
+    lang shards; global epoch order = (position, shard) interleave —
+    the distributed mode with no global sort)."""
+    from swarm_spark.operators.sampling import seeded_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return seeded_shuffle(docs, seed=13, shard_col="lang").select(
+        "doc_id", "lang", "position"
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (concat-then-slice, 256-token packs,
+    per-lang shards): every (doc, pack) overlap interval value-checked
+    against a DuckDB cumsum+range oracle."""
+    from swarm_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, max_tokens=256, shard_col="lang", seed=42
+    )
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (token, count, doc_freq), min_count=5 — one
+    map-side-combined shuffle on the token."""
+    from swarm_spark.operators.textstats import corpus_vocabulary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_vocabulary(docs, min_count=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
+    "stratified_sample": q_stratified_sample,
+    "seeded_shuffle": q_seeded_shuffle,
+    "pack_sequences": q_pack_sequences,
+    "vocab": q_vocab,
     "span_scrub": q_span_scrub,
     "dedup_exact": q_dedup_exact,
     "repetition_pii": q_repetition_pii,
@@ -1100,6 +1153,55 @@ spans8 AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM documents)
+            WHERE rk <= 8
+        """,
+        "seeded_shuffle": """
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS position
+            FROM documents
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                     md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     row_number() OVER w - 1 AS position,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY k, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+              FROM d WINDOW w AS (PARTITION BY lang ORDER BY k, doc_id)),
+            s AS (
+              SELECT *, tok_end - n_tokens AS tok_start,
+                     greatest((tok_end - 1) // 256, (tok_end - n_tokens) // 256)
+                       AS last_pack
+              FROM c)
+            SELECT lang, doc_id, position, tok_start, tok_end,
+                   p AS pack_id,
+                   greatest(tok_start, p * 256) AS pack_tok_start,
+                   least(tok_end, (p + 1) * 256) AS pack_tok_end
+            FROM s, LATERAL (SELECT unnest(range(tok_start // 256, last_pack + 1)) AS p)
+        """,
+        "vocab": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents)
+            SELECT token, count(*) AS count, count(DISTINCT doc_id) AS doc_freq
+            FROM toks WHERE token != ''
+            GROUP BY token HAVING count(*) >= 5
+        """,
         "media_decode": """
             WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
             png AS (

@@ -1,0 +1,173 @@
+"""Deterministic sampling / ordering / packing for training-data
+pipelines: the operators that decide WHICH examples a run trains on
+and in WHAT order — so they must be reproducible bit-for-bit from a
+seed, never `rand()` (whose value depends on partitioning and retry
+history).
+
+Determinism contract shared by all three: ordering keys are
+md5(seed || ':' || id) hex strings — stable across engines (the DuckDB
+oracles recompute them exactly), across partitionings, and across
+retries. No Python in any hot path; everything is Column expressions
+inside whole-stage codegen.
+
+Scale contract: Spark executes a GLOBAL-order window (no partitionBy)
+as a single-partition sort — fine for a fixture, a scale-killer on a
+corpus. So every global-order path here is (a) gated by an explicit
+max_rows guard that raises with guidance (the jaccard/reassembly guard
+pattern), and (b) paired with a sharded mode (shard_col) where every
+window is partition-local — one shuffle on the shard key, no global
+sort — and global order is the deterministic lexicographic
+(position, shard) interleave. The sharded mode IS the 100 TB path;
+the guard makes reaching for the toy path at scale impossible to do
+silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GLOBAL_ORDER_MAX_ROWS = 10_000_000
+
+
+class GlobalOrderTooLarge(RuntimeError):
+    """A global-order (single-partition-sort) path was asked to order
+    more than max_rows rows; use shard_col instead."""
+
+
+def _hash_key(id_col: str, seed: int) -> F.Column:
+    return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+
+
+def _guard_global(df: DataFrame, max_rows: int, op: str) -> None:
+    n = df.count()
+    if n > max_rows:
+        raise GlobalOrderTooLarge(
+            f"{op}: {n} rows exceed max_rows={max_rows} for the global-order "
+            "mode (Spark runs an unpartitioned window as ONE sort task); "
+            "pass shard_col= for the partition-local mode, or raise max_rows "
+            "if you accept the single-task sort"
+        )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum, chosen by seeded
+    hash rank — the mixture-control primitive (a corpus with 90% web /
+    10% code rebalances deterministically; the same seed returns the
+    identical sample on any cluster, any partitioning).
+
+    Always partition-local: one shuffle on the strata columns, the
+    within-stratum hash ordering sorts inside each partition, and
+    rank <= n filters inside the window stage (skewed strata sort
+    more rows but never collect them). No global-order guard needed."""
+    w = Window.partitionBy(*strata_cols).orderBy(_hash_key(id_col, seed), id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shard_col: str | None = None,
+    max_rows: int = GLOBAL_ORDER_MAX_ROWS,
+) -> DataFrame:
+    """Deterministic training order. With shard_col (the corpus-scale
+    mode): `position` is the seeded rank WITHIN the shard
+    (partition-local window), and the global epoch order is the
+    lexicographic (position, shard) interleave — a round-robin over
+    shards, which is exactly what a multi-reader data loader consumes,
+    with no global sort anywhere. Without shard_col: true global rank
+    via an unpartitioned window — single sort task, guarded by
+    max_rows."""
+    if shard_col is not None:
+        w = Window.partitionBy(shard_col).orderBy(_hash_key(id_col, seed), id_col)
+    else:
+        _guard_global(df, max_rows, "seeded_shuffle")
+        w = Window.orderBy(_hash_key(id_col, seed), id_col)
+    return df.withColumn("position", F.row_number().over(w).cast("long") - 1)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    seed: int = 42,
+    max_rows: int = GLOBAL_ORDER_MAX_ROWS,
+) -> DataFrame:
+    """Context-window packing: documents are laid end-to-end in seeded
+    order and cut into fixed windows of max_tokens (the standard
+    concat-then-slice LLM batching; a document straddling a boundary
+    continues in the next pack). Emits one row per (doc, pack)
+    overlap:
+
+        ([shard], id, position, tok_start, tok_end,
+         pack_id, pack_tok_start, pack_tok_end)
+
+    where [tok_start, tok_end) is the doc's token interval in the
+    concatenation and [pack_tok_start, pack_tok_end) its slice inside
+    pack_id — a downstream mapInPandas tokenizer materializes pack
+    tensors from exactly these intervals without re-scanning
+    neighbors.
+
+    Layout: cumulative token offsets via a window cumsum, then pack
+    membership = explode(sequence(floor(start/max), floor((end-1)/max)))
+    — no self-join, no iteration. With shard_col all windows are
+    per-shard (one shuffle on the shard key, partition-local sorts)
+    and pack_id is shard-local: the 100 TB mode, where each shard's
+    packs feed one data-loader stream. Without it the cumsum is a
+    single-task sort — fixture mode, guarded by max_rows."""
+    order = [_hash_key(id_col, seed), id_col]
+    if shard_col is not None:
+        w_pos = Window.partitionBy(shard_col).orderBy(*order)
+    else:
+        _guard_global(df, max_rows, "pack_sequences")
+        w_pos = Window.orderBy(*order)
+    w_cum = w_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = F.col(token_col).cast("long")
+    out = (
+        df.withColumn("position", F.row_number().over(w_pos).cast("long") - 1)
+        .withColumn("tok_end", F.sum(toks).over(w_cum))
+        .withColumn("tok_start", F.col("tok_end") - toks)
+        # a 0-token doc still belongs to the pack at its offset
+        .withColumn(
+            "_last_pack",
+            F.greatest(
+                F.floor((F.col("tok_end") - 1) / max_tokens),
+                F.floor(F.col("tok_start") / max_tokens),
+            ),
+        )
+        .withColumn(
+            "pack_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("tok_start") / max_tokens), F.col("_last_pack")
+                )
+            ),
+        )
+        .drop("_last_pack")
+        .withColumn(
+            "pack_tok_start",
+            F.greatest(F.col("tok_start"), F.col("pack_id") * max_tokens),
+        )
+        .withColumn(
+            "pack_tok_end",
+            F.least(F.col("tok_end"), (F.col("pack_id") + 1) * max_tokens),
+        )
+    )
+    cols = ([shard_col] if shard_col else []) + [
+        id_col, "position", "tok_start", "tok_end",
+        "pack_id", "pack_tok_start", "pack_tok_end",
+    ]
+    return out.select(*cols)

@@ -220,3 +220,30 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
         langid(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def corpus_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-level vocabulary: (token, count, doc_freq) over
+    lowercased whitespace tokens — the tokenizer-training /
+    stopword-mining primitive. ONE shuffle on the token (map-side
+    partial aggregation moves per-partition distinct tokens, not
+    positions; doc_freq via count(distinct id) rides the same
+    grouping). min_count prunes the hapax tail BEFORE anything
+    downstream joins against the vocabulary."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+        .filter(F.col("count") >= min_count)
+    )

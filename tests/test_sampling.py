@@ -1,0 +1,111 @@
+"""Deterministic sampling / ordering / packing operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.operators.sampling import (
+    GlobalOrderTooLarge,
+    pack_sequences,
+    seeded_shuffle,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "en" if i % 3 else "de", f"src{i % 2}") for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, source string")
+
+
+class TestStratifiedSample:
+    def test_exact_counts_and_determinism(self, docs):
+        out = stratified_sample(docs, ["lang", "source"], 5, seed=1)
+        sizes = {(r.lang, r.source): r["count"]
+                 for r in out.groupBy("lang", "source").count().collect()}
+        assert set(sizes.values()) == {5}  # every stratum has >=5 here
+        again = stratified_sample(docs, ["lang", "source"], 5, seed=1)
+        assert sorted(r.doc_id for r in out.collect()) == \
+               sorted(r.doc_id for r in again.collect())
+
+    def test_small_stratum_kept_whole_and_seed_changes_pick(self, spark, docs):
+        extra = spark.createDataFrame([(999, "fr", "srcX")],
+                                      "doc_id long, lang string, source string")
+        out = stratified_sample(docs.union(extra), ["lang"], 5, seed=1)
+        assert [r.doc_id for r in out.collect() if r.lang == "fr"] == [999]
+        a = {r.doc_id for r in stratified_sample(docs, ["lang"], 5, seed=1).collect()}
+        b = {r.doc_id for r in stratified_sample(docs, ["lang"], 5, seed=2).collect()}
+        assert a != b  # different seed, different (deterministic) sample
+
+
+class TestSeededShuffle:
+    def test_positions_are_dense_per_shard(self, docs):
+        out = seeded_shuffle(docs, seed=3, shard_col="lang")
+        per = {}
+        for r in out.collect():
+            per.setdefault(r.lang, []).append(r.position)
+        for lang, ps in per.items():
+            assert sorted(ps) == list(range(len(ps)))
+
+    def test_global_mode_guard(self, docs):
+        with pytest.raises(GlobalOrderTooLarge, match="shard_col"):
+            seeded_shuffle(docs, max_rows=10)
+        # under the limit the global order is a permutation
+        out = seeded_shuffle(docs, max_rows=1000)
+        assert sorted(r.position for r in out.collect()) == list(range(60))
+
+
+class TestPackSequences:
+    def test_intervals_tile_the_token_stream(self, spark):
+        rows = [(i, 30 + i * 7 % 50) for i in range(40)]
+        d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_sequences(d, max_tokens=100, max_rows=1000).collect()
+        total = sum(r[1] for r in rows)
+        # pack slices cover every token exactly once
+        assert sum(r.pack_tok_end - r.pack_tok_start for r in out) == total
+        by_pack = {}
+        for r in out:
+            by_pack.setdefault(r.pack_id, []).append(r)
+        for pid, rs in by_pack.items():
+            lo, hi = pid * 100, min((pid + 1) * 100, total)
+            ivs = sorted((r.pack_tok_start, r.pack_tok_end) for r in rs)
+            assert ivs[0][0] == lo and ivs[-1][1] == hi
+            for (a1, b1), (a2, b2) in zip(ivs, ivs[1:]):
+                assert b1 == a2  # contiguous, no overlap
+
+    def test_straddling_doc_appears_in_both_packs(self, spark):
+        d = spark.createDataFrame([(1, 60), (2, 60), (3, 60)],
+                                  "doc_id long, n_tokens long")
+        out = pack_sequences(d, max_tokens=100, max_rows=10)
+        mid = [r for r in out.collect()
+               if r.tok_start < 100 < r.tok_end]
+        assert len(mid) == 2  # the straddler emits a row per pack
+        assert {r.pack_id for r in mid} == {0, 1}
+
+    def test_sharded_mode_is_shard_local(self, spark):
+        rows = [(i, "a" if i % 2 else "b", 50) for i in range(20)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+        out = pack_sequences(d, max_tokens=100, shard_col="lang").collect()
+        for lang in ("a", "b"):
+            packs = {r.pack_id for r in out if r.lang == lang}
+            assert packs == set(range(5))  # 10 docs x 50 tok / 100 per pack
+
+    def test_global_mode_guard(self, spark):
+        d = spark.createDataFrame([(i, 1) for i in range(50)],
+                                  "doc_id long, n_tokens long")
+        with pytest.raises(GlobalOrderTooLarge):
+            pack_sequences(d, max_tokens=10, max_rows=10)
+
+
+def test_vocab_counts(spark):
+    from swarm_spark.operators.textstats import corpus_vocabulary
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "a  c"), (3, "B b")],
+        "doc_id long, text string")
+    out = {r.token: (r["count"], r.doc_freq)
+           for r in corpus_vocabulary(d).collect()}
+    assert out["a"] == (3, 2)
+    assert out["b"] == (3, 2)  # lowercased; double space yields no '' token
+    assert out["c"] == (1, 1)

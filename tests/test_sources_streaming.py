@@ -144,9 +144,17 @@ class TestStreaming:
             .start()
         )
         q.awaitTermination(120)
-        got = spark.sql("SELECT sum(n) FROM hourly_out").collect()[0][0]
+        # full tuple-level equality vs the batch aggregate — not just
+        # the grand total: every (sink, role, tool, hour) cell matches
+        got = {
+            (r.sink, r.role, r.tool, r.hour, r.n)
+            for r in spark.sql("SELECT * FROM hourly_out").collect()
+        }
         pipe.config.assume_ordered = True
-        exp = pipe.routed(t, ingest_id="x").count()
+        exp = {
+            (r.sink, r.role, r.tool, r.hour, r.n)
+            for r in pipe.aggregate(pipe.routed(t, ingest_id="x")).collect()
+        }
         assert got == exp
 
 

@@ -191,9 +191,11 @@ Per-round times: local[{n_lo}] {times[n_lo]}, local[{n_hi}] {times[n_hi]}.
 
 Reproduce: `python tools/scaling_bench.py {n_rows} {n_lo} {n_hi} {rounds}`.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+    # BENCH.md is curated by hand (history tables, per-round context);
+    # write the generated section beside it for manual merge
+    with open(os.path.join(REPO, "BENCH_scaling.md"), "w") as fh:
         fh.write(md)
-    print("wrote BENCH.md", file=sys.stderr)
+    print("wrote BENCH_scaling.md (merge into BENCH.md)", file=sys.stderr)
 
 
 if __name__ == "__main__":
