@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.normalize import content_hash_json_udf, nil_strip_json_udf
@@ -214,35 +214,57 @@ def _count_leaves(schema) -> int:
     return n
 
 
-def _residual_predicate(col: str, schema) -> F.Column:
+def _residual_predicate(
+    col: str, schema, nulls_stripped: bool = False, parsed_col: F.Column | None = None
+) -> F.Column:
     """JVM-side predicate that flags records the candidate schema would
     LOSE data from, no Python: (1) top-level keys outside the schema;
     (2) nested-object keys outside the schema's struct fields —
     recursively over struct paths; (3) type conflicts / parse loss:
     the TYPED parse produced null where the raw document still carries
     a value (a long field receiving \"abc\" or 1.5, a scalar receiving
-    an object...). Presence is probed per-leaf with get_json_object
-    for narrow schemas and with ONE all-strings from_json above
-    PROBE_LEAF_THRESHOLD leaves (leaf-count-independent cost).
+    an object...).
+
+    Presence probing — three strategies by input contract (cheapest
+    sound one wins; r4 measurement in NOTES_r4):
+      * nulls_stripped=True (the JsonIngest.run path: `data` went
+        through nil_strip, so key-present ⟹ value non-null): presence
+        = membership in the SAME json_object_keys arrays the novelty
+        checks already compute — zero extra raw scans per leaf, and
+        the typed from_json here is expression-identical to the output
+        parse so codegen CSE computes it once when both live in one
+        projection. NOT sound for raw inputs: {"a": null} would flag
+        forever (json.read infers nothing new) and never converge.
+      * narrow schemas (≤ PROBE_LEAF_THRESHOLD leaves): per-leaf
+        get_json_object (early-exit streaming scans).
+      * wide schemas: ONE all-strings from_json probe
+        (leaf-count-independent).
     Array-of-struct interiors are not walked (documented bound) —
     conflicts there still surface via (3) when the whole field fails.
+
+    parsed_col: pass an already-materialized from_json(col, schema)
+    ATTRIBUTE (a column computed in an upstream projection) and the
+    typed-null checks reference it instead of embedding their own
+    parse. This matters because the null checks sit on conditional
+    branches of the OR/AND tree, where Spark's subexpression
+    elimination does NOT extract them — without the hoist each check
+    re-parses the document (measured 3x parse cost at 1M records;
+    NOTES_r4).
     """
     from pyspark.sql import types as T
 
-    parsed = F.from_json(F.col(col), schema)
-    use_probe = _count_leaves(schema) > PROBE_LEAF_THRESHOLD
+    parsed = parsed_col if parsed_col is not None else F.from_json(F.col(col), schema)
+    use_probe = (not nulls_stripped) and _count_leaves(schema) > PROBE_LEAF_THRESHOLD
     probe = F.from_json(F.col(col), _string_probe_schema(schema)) if use_probe else None
+    top_keys = F.json_object_keys(F.col(col))
     preds = [
         F.size(
-            F.array_except(
-                F.json_object_keys(F.col(col)),
-                F.array(*[F.lit(f.name) for f in schema.fields]),
-            )
+            F.array_except(top_keys, F.array(*[F.lit(f.name) for f in schema.fields]))
         )
         > 0
     ]
 
-    def walk(struct, parts, parsed_col, probe_col):
+    def walk(struct, parts, parsed_col, probe_col, keys_col):
         for f_ in struct.fields:
             if len(preds) >= MAX_COVERAGE_PATHS:
                 return
@@ -251,24 +273,27 @@ def _residual_predicate(col: str, schema) -> F.Column:
             # mode: the probe preserves their shape, so a scalar where
             # a struct/array is expected nulls the probe exactly like
             # the typed parse and the conflict would go undetected.
-            # Scalar leaves are shape-free in the probe (string accepts
-            # any scalar/object), so the probe is sound for them.
+            # (Key-membership presence has no such blind spot — the
+            # parent's key set is shape-free.)
             nested = isinstance(f_.dataType, (T.StructType, T.ArrayType))
-            present = (
-                probe_col[f_.name].isNotNull() if use_probe and not nested
-                else F.get_json_object(F.col(col), _jpath(child_parts)).isNotNull()
-            )
+            if nulls_stripped:
+                present = F.array_contains(keys_col, f_.name)
+            elif use_probe and not nested:
+                present = probe_col[f_.name].isNotNull()
+            else:
+                present = F.get_json_object(F.col(col), _jpath(child_parts)).isNotNull()
             preds.append(parsed_col[f_.name].isNull() & present)
             if isinstance(f_.dataType, T.StructType):
                 # nested-novelty needs the raw object's key set — one
                 # JsonPath per STRUCT path only (few), not per leaf
                 raw = F.get_json_object(F.col(col), _jpath(child_parts))
+                child_keys = F.json_object_keys(raw)
                 kids = F.array(*[F.lit(c.name) for c in f_.dataType.fields])
-                preds.append(F.size(F.array_except(F.json_object_keys(raw), kids)) > 0)
+                preds.append(F.size(F.array_except(child_keys, kids)) > 0)
                 walk(f_.dataType, child_parts, parsed_col[f_.name],
-                     probe_col[f_.name] if use_probe else None)
+                     probe_col[f_.name] if use_probe else None, child_keys)
 
-    walk(schema, (), parsed, probe)
+    walk(schema, (), parsed, probe, top_keys)
     out = preds[0]
     for p in preds[1:]:
         out = out | p
@@ -281,6 +306,7 @@ def infer_json_schema(
     live_schema=None,
     sample_rows: int = 10_000,
     max_rounds: int = 5,
+    defer_check: bool = False,
 ):
     """Schema inference over a JSON-string column WITHOUT round-tripping
     the whole batch through Python (the round-1 100 TB killer: an
@@ -318,6 +344,14 @@ def infer_json_schema(
         strs = remaining.limit(sample_rows).rdd.map(lambda r: r[0])  # bounded hop
         inferred = spark.read.json(strs).schema
         schema = _merge_inferred(schema, inferred)
+        if defer_check:
+            # optimistic mode (r4): skip the dedicated coverage scan —
+            # the caller fuses _residual_predicate into its own full
+            # pass (JsonIngest.run rides it on the write job as an
+            # Observation) and re-enters inference only if that pass
+            # reports missed records. Measured motivation: the eager
+            # scan was 35% of json_ingest wall at sf1 (NOTES_r4).
+            return schema
         remaining = docs_only.filter(_residual_predicate(col, schema))
         if remaining.isEmpty():
             return schema
@@ -443,7 +477,9 @@ class JsonIngest:
             recs.unpersist()
         return out
 
-    def _infer_for_sink(self, r: JsonSchemaRule, docs_only: DataFrame):
+    def _infer_for_sink(
+        self, r: JsonSchemaRule, docs_only: DataFrame, defer_check: bool = False
+    ):
         """Bounded-sample inference union-merged with the sink table's
         LIVE data schema, so fields seen in earlier batches are never
         silently lost even when this batch's sample misses them."""
@@ -458,7 +494,7 @@ class JsonIngest:
                     live = f_.dataType
         return infer_json_schema(
             self.spark, docs_only, live_schema=live,
-            sample_rows=self.infer_sample_rows,
+            sample_rows=self.infer_sample_rows, defer_check=defer_check,
         )
 
     # -- dump sink (≙ swarm --dry-run NDJSON dump,
@@ -507,6 +543,8 @@ class JsonIngest:
         committed = dict(prior)
         attempt: list[tuple[str, int]] = []
 
+        fresh_appends: set[str] = set()
+
         def commit_append(table_name: str, df: DataFrame, **kw) -> dict:
             t = self.catalog.table(table_name)
             if table_name in prior:
@@ -517,8 +555,22 @@ class JsonIngest:
             snap = t.append(df, **kw)
             committed[table_name] = snap["snapshot_id"]
             attempt.append((table_name, snap["snapshot_id"]))
+            fresh_appends.add(table_name)
             self.manifest.update(batch_id, STATE_RUNNING, committed)
             return snap
+
+        def uncommit_append(table_name: str, snapshot_id: int) -> None:
+            """Coverage-retry path: undo OUR OWN freshly-committed
+            append so the sink can be rewritten with a wider schema."""
+            if not self.catalog.table(table_name).rollback(snapshot_id):
+                raise RuntimeError(
+                    f"{table_name}: cannot roll back snapshot {snapshot_id} "
+                    "for schema-coverage rewrite (another commit landed on top)"
+                )
+            committed.pop(table_name, None)
+            attempt.remove((table_name, snapshot_id))
+            fresh_appends.discard(table_name)
+            self.manifest.update(batch_id, STATE_RUNNING, committed)
 
         try:
             recs = self.records(path).persist()
@@ -531,21 +583,72 @@ class JsonIngest:
                 docs_only = part.select("data")
                 if docs_only.isEmpty():
                     continue
-                # bounded-sample inference + live-schema merge + JVM
-                # coverage check ≙ fold of bqs.Infer+Merge
-                # (bigquery.go:47-62) without the full Python round-trip
-                inferred = self._infer_for_sink(r, docs_only)
-                out = part.select(
-                    "id",
-                    F.lit(request_id).alias("ingest_id"),
-                    "timestamp",
-                    F.current_timestamp().alias("ingested_at"),
-                    F.from_json("data", inferred).alias("data"),
-                )
-                snap = commit_append(
-                    r.sink_table, out,
-                    partition_unit=r.partition_unit, ts_col="timestamp",
-                )
+                # Bounded-sample inference + live-schema merge ≙ fold of
+                # bqs.Infer+Merge (bigquery.go:47-62) without the full
+                # Python round-trip. The coverage check (records the
+                # candidate schema would LOSE data from) is OPTIMISTIC
+                # since r4: instead of a dedicated pre-write scan (which
+                # measured 35% of sf1 ingest wall — NOTES_r4), the
+                # residual predicate rides the WRITE job as an
+                # Observation; a non-zero count (rare: the bounded
+                # sample missed a key shape) rolls the sink's append
+                # back, widens the schema from the actually-missed
+                # records, and rewrites. Common case: zero extra scans.
+                # Trade: a non-converged round now costs a write+rollback
+                # instead of a scan — right when misses are rare.
+                inferred = self._infer_for_sink(r, docs_only, defer_check=True)
+                for cov_round in range(5):
+                    obs = Observation(f"cov-{uuid.uuid4().hex[:8]}")
+                    # Parse FIRST (own projection), then flag: the
+                    # typed-null checks live on conditional branches
+                    # where Spark's CSE cannot extract a repeated
+                    # from_json, so the predicate must reference the
+                    # materialized _parsed attribute — each doc is
+                    # parsed exactly once across output + coverage.
+                    staged = part.select(
+                        "id", "timestamp", "data",
+                        F.from_json("data", inferred).alias("_parsed"),
+                    )
+                    flagged = staged.select(
+                        "id",
+                        "timestamp",
+                        "_parsed",
+                        _residual_predicate(
+                            "data", inferred, nulls_stripped=True,
+                            parsed_col=F.col("_parsed"),
+                        ).cast("long").alias("_cov_missed"),
+                    ).observe(obs, F.sum("_cov_missed").alias("missed"))
+                    out = flagged.select(
+                        "id",
+                        F.lit(request_id).alias("ingest_id"),
+                        "timestamp",
+                        F.current_timestamp().alias("ingested_at"),
+                        F.col("_parsed").alias("data"),
+                    )
+                    snap = commit_append(
+                        r.sink_table, out,
+                        partition_unit=r.partition_unit, ts_col="timestamp",
+                    )
+                    if r.sink_table not in fresh_appends:
+                        break  # resumed from a prior attempt: no job ran
+                    if not int(obs.get.get("missed") or 0):
+                        break
+                    if cov_round == 4:
+                        raise RuntimeError(
+                            "json schema inference did not converge in 5 "
+                            f"rounds for sink {r.sink_table} "
+                            f"(sample_rows={self.infer_sample_rows})"
+                        )
+                    uncommit_append(r.sink_table, snap["snapshot_id"])
+                    missed_docs = docs_only.filter(
+                        _residual_predicate("data", inferred, nulls_stripped=True)
+                    )
+                    strs = missed_docs.limit(self.infer_sample_rows).rdd.map(
+                        lambda row: row[0]
+                    )
+                    inferred = _merge_inferred(
+                        inferred, self.spark.read.json(strs).schema
+                    )
                 snapshot_ids[r.sink_table] = snap["snapshot_id"]
                 per_sink[r.sink_table] = snap["added_rows"]
                 schemas_json[r.sink_table] = inferred.json()

@@ -345,3 +345,48 @@ class TestInferenceConvergence:
         df = spark.createDataFrame([(ln,) for ln in lines], "data string")
         with pytest.raises(RuntimeError, match="did not converge"):
             infer_json_schema(spark, df, sample_rows=1, max_rounds=3)
+
+
+class TestOptimisticCoverage:
+    """r4: the coverage check rides the write job as an Observation;
+    a sample miss costs one rollback+rewrite, and the final table
+    carries exactly one live snapshot lineage (no residue of the
+    narrow-schema attempt)."""
+
+    def test_rewrite_leaves_single_clean_lineage(self, spark, tmp_path):
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "a", "event_time": 1.0, "alpha": 1}) + "\n"
+               + json.dumps({"log_id": "b", "event_time": 2.0, "beta": "x"}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, RULES,
+                         infer_sample_rows=1)
+        res = ing.run(str(tmp_path / "a.log"), batch_id="b")
+        t = ing.catalog.table("logs")
+        # the narrow-schema attempt was rolled back: exactly one live
+        # snapshot, its row count equals the input, no double rows
+        snaps = t.snapshots()
+        assert len(snaps) == 1 and snaps[0]["added_rows"] == 2
+        assert t.read(spark).count() == 2
+        assert res["per_sink_rows"] == {"logs": 2}
+        # manifest points at the REWRITTEN snapshot only
+        st = ing.manifest.get("b")
+        assert st.snapshot_ids["logs"] == snaps[0]["snapshot_id"]
+
+    def test_converged_sample_writes_once(self, spark, tmp_path, monkeypatch):
+        """Homogeneous batch: no rollback may happen (the optimistic
+        pass must commit on the first write)."""
+        from swarm_spark.tablestore import IcepackTable
+
+        calls = {"rollback": 0}
+        orig = IcepackTable.rollback
+
+        def counting(self, sid):
+            calls["rollback"] += 1
+            return orig(self, sid)
+
+        monkeypatch.setattr(IcepackTable, "rollback", counting)
+        _write(tmp_path / "a.log",
+               json.dumps({"log_id": "a", "event_time": 1.0, "k": 1}) + "\n"
+               + json.dumps({"log_id": "b", "event_time": 2.0, "k": 2}))
+        ing = JsonIngest(spark, str(tmp_path / "wh"), EVENTS, RULES)
+        ing.run(str(tmp_path / "a.log"), batch_id="b")
+        assert calls["rollback"] == 0
