@@ -229,11 +229,17 @@ class TestMultimodal:
         assert a.sha256.tolist() == b.sha256.tolist()
         assert a.feature.map(tuple).tolist() == b.feature.map(tuple).tolist()
 
-    def test_real_decoder_gated(self, spark):
+    def test_real_decoder_gated_for_codec_formats(self, spark):
+        """r4: decoder='real' decodes png/wav via the stdlib codecs
+        (tests/test_media_codecs.py); formats that need codec
+        libraries still raise — inside the kernel, at evaluation."""
         from swarm_spark.operators.multimodal import extract_features, synthetic_media
 
-        with pytest.raises(NotImplementedError):
-            extract_features(synthetic_media(spark, 3), decoder="real")
+        # synthetic_media payloads are raw hash bytes (no magic) →
+        # the capability boundary fires when the plan runs
+        out = extract_features(synthetic_media(spark, 3), decoder="real")
+        with pytest.raises(Exception, match="codec library"):
+            out.collect()
 
 
 class TestQuantizedScoring:
