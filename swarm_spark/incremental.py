@@ -1,0 +1,121 @@
+"""Incremental materialized aggregate maintenance over icepack tables.
+
+The 100 TB consumer pattern: a downstream aggregate (e.g. the
+(sink, role, tool, hour) counters swarm emits per ingest,
+/root/reference/pkg/usecase/ingest.go counters + BigQuery scheduled
+rollups) must NOT rescan the whole fact table per refresh. Instead:
+
+* the fact table is an icepack table whose appends are consumed via
+  `read_incremental(after_sid, to_sid)` — only the NEW `_s=` dirs are
+  scanned (bytes read per refresh ∝ new data, not table size);
+* the refresh computes a PARTIAL aggregate of just the increment (one
+  map-side-combined shuffle over the increment) and APPENDS the delta
+  rows to the aggregate table — additive aggregates (count/sum) merge
+  by re-aggregation at read time, so the agg table itself is never
+  rewritten per batch;
+* the source snapshot id the delta covers rides the SAME atomic commit
+  (snapshot `extra_meta`), so the checkpoint and the data can never
+  disagree — a crashed refresh re-runs from the last COMMITTED
+  checkpoint and is exactly-once by construction;
+* periodically (or when delta rows accumulate), `compact_agg` rewrites
+  the agg table to one row per key — a `compact`-style snapshot that
+  preserves the checkpoint;
+* a rewrite in the fact table's history (overwrite / merge / compact
+  crossing the checkpoint) makes the append-diff invalid —
+  IncrementalReadError — and the refresh falls back to a full
+  recompute, recorded as an `overwrite` with the new checkpoint.
+
+Read `read_agg` for the merge-at-read contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tablestore import IcepackTable, IncrementalReadError
+
+_CKPT_KEY = "src_snapshot_id"
+
+
+def _partial_agg(df: DataFrame, keys: list[str], sums: dict[str, str]) -> DataFrame:
+    """Partial aggregate: count(*) AS n plus sum(expr) AS name for each
+    entry in `sums` ({out_name: input_column}). All additive, so delta
+    rows merge by re-aggregation."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(F.col(src)).alias(out) for out, src in sums.items()]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def refresh_agg(
+    spark: SparkSession,
+    src: IcepackTable,
+    dst: IcepackTable,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    prepare=None,
+) -> dict:
+    """Bring the aggregate table `dst` up to date with `src`'s CURRENT
+    snapshot. Returns {"mode": "noop"|"incremental"|"full",
+    "src_snapshot_id": int, "delta_rows": int}.
+
+    `prepare(df) -> df` optionally maps the (incremental or full) fact
+    rows before aggregation (e.g. derive the hour bucket column).
+    Idempotent: a second call with no new source commits is a no-op.
+    """
+    sums = sums or {}
+    cur = src.current_snapshot()
+    if cur is None:
+        raise FileNotFoundError(f"source table {src.name} has no snapshots")
+    src_sid = cur["snapshot_id"]
+    last = None
+    if dst.exists():
+        last = dst.current_snapshot().get(_CKPT_KEY)
+    if last == src_sid:
+        return {"mode": "noop", "src_snapshot_id": src_sid, "delta_rows": 0}
+
+    if last is not None:
+        try:
+            inc = src.read_incremental(spark, last, src_sid)
+            if prepare is not None:
+                inc = prepare(inc)
+            delta = _partial_agg(inc, keys, sums)
+            snap = dst.append(delta, extra_meta={_CKPT_KEY: src_sid})
+            return {"mode": "incremental", "src_snapshot_id": src_sid,
+                    "delta_rows": snap["added_rows"]}
+        except IncrementalReadError:
+            pass  # rewrite crossed the checkpoint → full recompute below
+
+    full = src.read(spark, snapshot_id=src_sid)
+    if prepare is not None:
+        full = prepare(full)
+    agg = _partial_agg(full, keys, sums)
+    snap = dst.overwrite(agg, op="overwrite", extra_meta={_CKPT_KEY: src_sid})
+    return {"mode": "full", "src_snapshot_id": src_sid,
+            "delta_rows": snap["added_rows"]}
+
+
+def read_agg(spark: SparkSession, dst: IcepackTable, keys: list[str],
+             sums: dict[str, str] | None = None) -> DataFrame:
+    """Merged view of the aggregate table: delta rows from successive
+    refreshes re-aggregate by key (sum of counts / sums). The scan is
+    over agg-sized data (≪ fact table); the re-aggregation is the same
+    map-side-combined shuffle shape as any final-merge of partial
+    aggregates."""
+    sums = sums or {}
+    df = dst.read(spark)
+    aggs = [F.sum("n").alias("n")]
+    aggs += [F.sum(F.col(out)).alias(out) for out in sums.keys()]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def compact_agg(spark: SparkSession, dst: IcepackTable, keys: list[str],
+                sums: dict[str, str] | None = None) -> dict:
+    """Rewrite the aggregate table to one row per key, preserving the
+    checkpoint. Bounds agg-table growth when many small refreshes
+    accumulate; time travel to pre-compaction snapshots still works
+    until expire_snapshots."""
+    ckpt = dst.current_snapshot().get(_CKPT_KEY)
+    merged = read_agg(spark, dst, keys, sums)
+    return dst.overwrite(merged, op="compact",
+                         extra_meta={_CKPT_KEY: ckpt})

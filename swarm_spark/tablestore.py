@@ -57,6 +57,13 @@ class SchemaConflictError(ValueError):
     bqs schema merge (migrate_test.go:115-132)."""
 
 
+class IncrementalReadError(RuntimeError):
+    """Raised when the snapshot range contains a non-append operation
+    (overwrite/merge/compact), so an append-diff does not describe the
+    change — the caller must fall back to a full recompute. Same
+    restriction as Iceberg's incremental append scan."""
+
+
 class CommitConflict(RuntimeError):
     """CURRENT advanced between reading the table and committing a
     REWRITE (compact / merge): blindly rebasing would silently drop
@@ -379,7 +386,8 @@ class IcepackTable:
 
     def _append_snapshot(self, ddir: str | None, n: int,
                          incoming_schema: T.StructType,
-                         partition_unit: str, ts_col: str) -> dict:
+                         partition_unit: str, ts_col: str,
+                         extra_meta: dict | None = None) -> dict:
         """Shared commit path for append() and adopt_dir(): schema
         evolution + snapshot construction around an already-written
         (or absent, when n==0) data dir."""
@@ -403,16 +411,24 @@ class IcepackTable:
             "added_rows": n,
             "committed_at": time.time(),
         }
+        if extra_meta:
+            for k, v in extra_meta.items():
+                snap.setdefault(k, v)  # user metadata never shadows core fields
         snap["snapshot_id"] = None
         self._commit(snap)
         return snap
 
-    def append(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp") -> dict:
-        """Append with schema evolution; returns the committed snapshot."""
+    def append(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp",
+               extra_meta: dict | None = None) -> dict:
+        """Append with schema evolution; returns the committed snapshot.
+        `extra_meta` rides the snapshot json (Iceberg snapshot summary
+        analogue) — e.g. a consumer checkpoint, so the checkpoint and
+        the data land in ONE atomic commit."""
         prev = self.current_snapshot()
         unit = (prev.get("partition_unit") or partition_unit) if prev else partition_unit
         ddir, n = self._write_data(df, unit, ts_col)
-        return self._append_snapshot(ddir, n, df.schema, partition_unit, ts_col)
+        return self._append_snapshot(ddir, n, df.schema, partition_unit, ts_col,
+                                     extra_meta=extra_meta)
 
     def adopt_dir(self, ddir: str | None, added_rows: int,
                   schema: T.StructType, partition_unit: str = "",
@@ -445,7 +461,8 @@ class IcepackTable:
         return self._append_snapshot(ddir, added_rows, schema, partition_unit, ts_col)
 
     def overwrite(self, df: DataFrame, partition_unit: str = "",
-                  ts_col: str = "timestamp", op: str = "overwrite") -> dict:
+                  ts_col: str = "timestamp", op: str = "overwrite",
+                  extra_meta: dict | None = None) -> dict:
         prev = self.current_snapshot()
         ddir, n = self._write_data(df, partition_unit, ts_col)
         snap = {
@@ -460,6 +477,9 @@ class IcepackTable:
             "committed_at": time.time(),
             "snapshot_id": None,
         }
+        if extra_meta:
+            for k, v in extra_meta.items():
+                snap.setdefault(k, v)
         try:
             self._commit(snap)
         except CommitConflict:
@@ -582,6 +602,127 @@ class IcepackTable:
         )
 
     # -- read ----------------------------------------------------------
+    def _scan_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+        """ONE partitioned parquet relation over the given data dirs —
+        plan depth stays flat no matter how many snapshots contribute
+        (manifest-file planning: the snapshot's cumulative dir list IS
+        the manifest). Dirs are named `_s=<uuid>`, so with
+        basePath=data/ partition discovery sees uniform (_s[, _p])
+        levels: `_p` pruning works across every snapshot in one scan,
+        `_s` is dropped below. mergeSchema resolves evolution (missing
+        columns → null). Fallback to per-dir unionByName covers legacy
+        layouts / mixed partition depths."""
+        try:
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", self.data)
+                .parquet(*dirs)
+            )
+            if "_s" in df.columns:
+                df = df.drop("_s")
+        except Exception:
+            parts = [
+                spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
+                for d in dirs
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Load one snapshot's metadata by id (FileNotFoundError if it
+        was expired or rolled back)."""
+        with open(self._snap_path(snapshot_id)) as fh:
+            return json.load(fh)
+
+    def changes_between(self, after_snapshot_id: int | None,
+                        to_snapshot_id: int | None = None) -> list[dict]:
+        """Snapshots strictly after `after_snapshot_id` up to and
+        including `to_snapshot_id` (default CURRENT), oldest first.
+        `after_snapshot_id=None` means "since table creation" (the
+        whole chain).
+
+        Walks the PARENT CHAIN, not the id sequence — rolled-back
+        snapshots are deleted and must not appear, and ids written by
+        losing writers never enter the chain. Raises
+        IncrementalReadError if `after_snapshot_id` is not an ancestor
+        of the target (e.g. it was rolled back or expired)."""
+        if to_snapshot_id is None:
+            cur = self._current_id()
+            if cur is None:
+                raise FileNotFoundError(f"table {self.name} has no snapshots")
+            to_snapshot_id = cur
+        chain: list[dict] = []
+        sid: int | None = to_snapshot_id
+        while sid is not None and sid != after_snapshot_id:
+            try:
+                snap = self.snapshot(sid)
+            except FileNotFoundError:
+                raise IncrementalReadError(
+                    f"table {self.name}: snapshot {sid} missing while walking "
+                    f"{to_snapshot_id}→{after_snapshot_id} (expired or rolled back)"
+                )
+            chain.append(snap)
+            sid = snap["parent"]
+        if sid != after_snapshot_id:
+            raise IncrementalReadError(
+                f"table {self.name}: snapshot {after_snapshot_id} is not an "
+                f"ancestor of {to_snapshot_id}"
+            )
+        chain.reverse()
+        return chain
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        after_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows APPENDED after `after_snapshot_id` up to
+        `to_snapshot_id` (default CURRENT) — the Iceberg incremental
+        append scan. This is the 100 TB resume path for downstream
+        consumers: an aggregator that checkpoints the last snapshot id
+        it processed scans only the new `_s=` dirs instead of
+        re-reading the whole table (reference analogue: swarm's
+        enqueue/resume loop re-lists only new objects,
+        /root/reference/pkg/usecase/enqueue.go).
+
+        Every snapshot in the range must be an `append` — a rewrite
+        (overwrite/merge/compact) in the range raises
+        IncrementalReadError and the consumer must fall back to a full
+        recompute from the new snapshot. Empty appends contribute
+        nothing. The result is projected to the `to` snapshot's schema
+        (columns added after a dir was written read as null)."""
+        chain = self.changes_between(after_snapshot_id, to_snapshot_id)
+        if not chain:
+            to = self.snapshot(to_snapshot_id) if to_snapshot_id is not None \
+                else self.current_snapshot()
+            schema = T.StructType.fromJson(json.loads(to["schema"]))
+            return spark.createDataFrame([], schema)
+        bad = [s for s in chain if s["op"] != "append"]
+        if bad:
+            raise IncrementalReadError(
+                f"table {self.name}: non-append snapshot(s) in range: "
+                + ", ".join(f"{s['snapshot_id']}={s['op']}" for s in bad)
+            )
+        base = set(self.snapshot(after_snapshot_id)["data_dirs"]) \
+            if after_snapshot_id is not None else set()
+        to_snap = chain[-1]
+        new_dirs = [d for d in to_snap["data_dirs"] if d not in base]
+        schema = T.StructType.fromJson(json.loads(to_snap["schema"]))
+        if not new_dirs:
+            return spark.createDataFrame([], schema)
+        df = self._scan_dirs(spark, new_dirs)
+        if "_p" in df.columns:
+            df = df.drop("_p")
+        cols = [
+            F.col(f.name).cast(f.dataType) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
     def read(
         self,
         spark: SparkSession,
@@ -601,31 +742,7 @@ class IcepackTable:
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         if not snap["data_dirs"]:  # empty-append-only table
             return spark.createDataFrame([], schema)
-        # ONE partitioned parquet relation over all data dirs — plan
-        # depth stays flat no matter how many snapshots the table has
-        # (manifest-file planning: the snapshot's cumulative dir list
-        # IS the manifest). Dirs are named `_s=<uuid>`, so with
-        # basePath=data/ partition discovery sees uniform (_s[, _p])
-        # levels: `_p` pruning works across every snapshot in one
-        # scan, `_s` is dropped below. mergeSchema resolves evolution
-        # (missing columns → null). Fallback to per-dir unionByName
-        # covers legacy layouts / mixed partition depths.
-        try:
-            df = (
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", self.data)
-                .parquet(*snap["data_dirs"])
-            )
-            if "_s" in df.columns:
-                df = df.drop("_s")
-        except Exception:
-            parts = [
-                spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
-                for d in snap["data_dirs"]
-            ]
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p, allowMissingColumns=True)
+        df = self._scan_dirs(spark, snap["data_dirs"])
         unit = snap.get("partition_unit")
         if unit and ts_between:
             fmt_py = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d",

@@ -1,0 +1,153 @@
+"""Incremental append scan (read_incremental / changes_between) and
+incremental materialized-aggregate maintenance (swarm_spark.incremental).
+
+The 100 TB contract under test: a downstream consumer that checkpoints
+the last source snapshot id reads ONLY the newly-appended data dirs per
+refresh, the checkpoint rides the same atomic commit as the delta rows
+(exactly-once), and any rewrite in the source history makes the diff
+invalid loudly (IncrementalReadError) rather than silently wrong."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.incremental import compact_agg, read_agg, refresh_agg
+from swarm_spark.tablestore import IcepackCatalog, IncrementalReadError
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestReadIncremental:
+    def test_appends_diff_exactly(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("t")
+        s1 = t.append(spark.createDataFrame([(1,), (2,)], "a bigint"))
+        s2 = t.append(spark.createDataFrame([(3,)], "a bigint"))
+        s3 = t.append(spark.createDataFrame([(4,), (5,)], "a bigint"))
+        inc = t.read_incremental(spark, s1["snapshot_id"], s3["snapshot_id"])
+        assert _rows(inc, "a") == [(3,), (4,), (5,)]
+        # default `to` is CURRENT
+        inc2 = t.read_incremental(spark, s2["snapshot_id"])
+        assert _rows(inc2, "a") == [(4,), (5,)]
+
+    def test_empty_range_and_since_creation(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("t")
+        s1 = t.append(spark.createDataFrame([(1,)], "a bigint"))
+        assert t.read_incremental(spark, s1["snapshot_id"]).count() == 0
+        # after=None → everything since creation
+        assert _rows(t.read_incremental(spark, None), "a") == [(1,)]
+
+    def test_schema_evolution_nulls_old_dirs(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("t")
+        s0 = t.append(spark.createDataFrame([(0, "z")], "a bigint, b string"))
+        t.append(spark.createDataFrame([(1, "x")], "a bigint, b string"))
+        t.append(spark.createDataFrame([(2, "y", 9.0)], "a bigint, b string, c double"))
+        inc = t.read_incremental(spark, s0["snapshot_id"])
+        # projected to the `to` schema: pre-evolution increment rows
+        # carry null c
+        assert [f.name for f in inc.schema.fields] == ["a", "b", "c"]
+        got = {r["a"]: r["c"] for r in inc.collect()}
+        assert got == {1: None, 2: 9.0}
+
+    def test_rewrite_in_range_raises(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        for rewrite in ("overwrite", "compact"):
+            t = cat.table(f"t_{rewrite}")
+            s1 = t.append(spark.createDataFrame([(1,)], "a bigint"))
+            if rewrite == "overwrite":
+                t.overwrite(spark.createDataFrame([(9,)], "a bigint"))
+            else:
+                t.compact(spark)
+            t.append(spark.createDataFrame([(2,)], "a bigint"))
+            with pytest.raises(IncrementalReadError):
+                t.read_incremental(spark, s1["snapshot_id"])
+
+    def test_non_ancestor_raises(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("t")
+        s1 = t.append(spark.createDataFrame([(1,)], "a bigint"))
+        t.append(spark.createDataFrame([(2,)], "a bigint"))
+        with pytest.raises(IncrementalReadError):
+            t.changes_between(s1["snapshot_id"] + 999)
+
+    def test_changes_between_oldest_first(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("t")
+        s1 = t.append(spark.createDataFrame([(1,)], "a bigint"))
+        s2 = t.append(spark.createDataFrame([(2,)], "a bigint"))
+        s3 = t.append(spark.createDataFrame([(3,)], "a bigint"))
+        chain = t.changes_between(s1["snapshot_id"])
+        assert [s["snapshot_id"] for s in chain] == [s2["snapshot_id"], s3["snapshot_id"]]
+
+
+class TestIncrementalAgg:
+    KEYS = ["k"]
+
+    def _src(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        return cat.table("facts"), cat.table("agg")
+
+    def test_refresh_matches_full_recompute(self, spark, tmp_path):
+        src, dst = self._src(spark, tmp_path)
+        src.append(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v bigint"))
+        r1 = refresh_agg(spark, src, dst, self.KEYS, sums={"sv": "v"})
+        assert r1["mode"] == "full"
+        src.append(spark.createDataFrame([("a", 10), ("c", 5)], "k string, v bigint"))
+        r2 = refresh_agg(spark, src, dst, self.KEYS, sums={"sv": "v"})
+        assert r2["mode"] == "incremental"
+        got = _rows(read_agg(spark, dst, self.KEYS, sums={"sv": "v"}), "k", "n", "sv")
+        want = _rows(
+            src.read(spark).groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")),
+            "k", "n", "sv")
+        assert got == want == [("a", 2, 11), ("b", 1, 2), ("c", 1, 5)]
+
+    def test_refresh_idempotent_noop(self, spark, tmp_path):
+        src, dst = self._src(spark, tmp_path)
+        src.append(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+        refresh_agg(spark, src, dst, self.KEYS)
+        r = refresh_agg(spark, src, dst, self.KEYS)
+        assert r["mode"] == "noop"
+        assert _rows(read_agg(spark, dst, self.KEYS), "k", "n") == [("a", 1)]
+
+    def test_source_rewrite_falls_back_to_full(self, spark, tmp_path):
+        src, dst = self._src(spark, tmp_path)
+        src.append(spark.createDataFrame([("a", 1), ("a", 2)], "k string, v bigint"))
+        refresh_agg(spark, src, dst, self.KEYS)
+        src.compact(spark)  # rewrite crosses the checkpoint
+        src.append(spark.createDataFrame([("b", 3)], "k string, v bigint"))
+        r = refresh_agg(spark, src, dst, self.KEYS)
+        assert r["mode"] == "full"
+        assert _rows(read_agg(spark, dst, self.KEYS), "k", "n") == [("a", 2), ("b", 1)]
+
+    def test_compact_agg_preserves_checkpoint_and_values(self, spark, tmp_path):
+        src, dst = self._src(spark, tmp_path)
+        for batch in ([("a", 1)], [("a", 2)], [("b", 3)]):
+            src.append(spark.createDataFrame(batch, "k string, v bigint"))
+            refresh_agg(spark, src, dst, self.KEYS, sums={"sv": "v"})
+        before = _rows(read_agg(spark, dst, self.KEYS, sums={"sv": "v"}), "k", "n", "sv")
+        assert dst.current_snapshot()["row_count"] >= 3  # delta rows accumulated
+        compact_agg(spark, dst, self.KEYS, sums={"sv": "v"})
+        after = _rows(read_agg(spark, dst, self.KEYS, sums={"sv": "v"}), "k", "n", "sv")
+        assert after == before == [("a", 2, 3), ("b", 1, 3)]
+        # checkpoint survived the rewrite → next refresh is a noop
+        assert refresh_agg(spark, src, dst, self.KEYS, sums={"sv": "v"})["mode"] == "noop"
+
+    def test_prepare_hour_bucket(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        src, dst = cat.table("ev"), cat.table("ev_hourly")
+        src.append(spark.createDataFrame(
+            [("s1", "2024-01-01 10:05:00"), ("s1", "2024-01-01 10:55:00"),
+             ("s2", "2024-01-01 11:00:00")],
+            "sink string, ts string"))
+
+        def prep(df):
+            return df.withColumn("hour", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+
+        refresh_agg(spark, src, dst, ["sink", "hour"], prepare=prep)
+        src.append(spark.createDataFrame([("s1", "2024-01-01 10:59:00")], "sink string, ts string"))
+        refresh_agg(spark, src, dst, ["sink", "hour"], prepare=prep)
+        got = {(r["sink"], str(r["hour"])): r["n"]
+               for r in read_agg(spark, dst, ["sink", "hour"]).collect()}
+        assert got == {("s1", "2024-01-01 10:00:00"): 3,
+                       ("s2", "2024-01-01 11:00:00"): 1}
