@@ -861,7 +861,21 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_vocabulary(docs, min_count=5)
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style linear quality classifier over hashed token
+    buckets (integer milli-weight logits — exact across engines).
+    Pure projection: zero shuffles, model as a map literal."""
+    from swarm_spark.operators.quality_model import score_text, synthetic_model
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = synthetic_model(n_buckets=1024, seed=7)
+    return score_text(docs, model).select(
+        "doc_id", "n_tokens", "logit_milli", "keep"
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_model": q_quality_model,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "stratified_sample": q_stratified_sample,
@@ -1477,6 +1491,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 4) >= 0.2
         """,
         "text_stats": _textstats_oracle(),
+        "quality_model": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t <> '')) AS t
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bucket
+              FROM tok
+            ),
+            sc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(((bucket * 2654435761 + 7) % 2001) - 1000) AS BIGINT) AS logit_milli
+              FROM b GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(sc.n_tokens, 0) AS n_tokens,
+                   coalesce(sc.logit_milli, 0) AS logit_milli,
+                   coalesce(sc.logit_milli, 0) > 0 AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "embedding_knn": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             ex AS (SELECT vec_id, unnest(embedding) AS v,
