@@ -861,6 +861,18 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_vocabulary(docs, min_count=5)
 
 
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by deterministic fractional repetition: per-lang
+    weights {en:2.5, de:1, fr:0.25, es:1.5, zh:0}; the fractional coin
+    is an integer compare on md5 bits, exact across engines."""
+    from swarm_spark.operators.sampling import mixture_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"en": 2.5, "de": 1.0, "fr": 0.25, "es": 1.5, "zh": 0.0}
+    out = mixture_resample(docs, w, group_col="lang", id_col="doc_id", seed=42)
+    return out.select("doc_id", "lang", "copy_idx").orderBy("doc_id", "copy_idx")
+
+
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fasttext-style linear quality classifier over hashed token
     buckets (integer milli-weight logits — exact across engines).
@@ -876,6 +888,7 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model": q_quality_model,
+    "mixture": q_mixture,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "stratified_sample": q_stratified_sample,
@@ -1491,6 +1504,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 4) >= 0.2
         """,
         "text_stats": _textstats_oracle(),
+        "mixture": """
+            WITH p AS (
+              SELECT doc_id, lang,
+                CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'fr' THEN 0
+                          WHEN 'es' THEN 1 WHEN 'zh' THEN 0 ELSE 1 END AS base,
+                CASE lang WHEN 'en' THEN 2251799813685248 WHEN 'de' THEN 0
+                          WHEN 'fr' THEN 1125899906842624
+                          WHEN 'es' THEN 2251799813685248 WHEN 'zh' THEN 0
+                          ELSE 0 END AS thr,
+                CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                     AS BIGINT) AS u52
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, lang,
+                     base + CASE WHEN u52 < thr THEN 1 ELSE 0 END AS n_copies
+              FROM p
+            )
+            SELECT doc_id, lang, CAST(unnest(range(n_copies)) AS INT) AS copy_idx
+            FROM n WHERE n_copies > 0
+            ORDER BY doc_id, copy_idx
+        """,
         "quality_model": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -171,3 +171,66 @@ def pack_sequences(
         "pack_id", "pack_tok_start", "pack_tok_end",
     ]
     return out.select(*cols)
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Domain/mixture reweighting by deterministic fractional
+    repetition — the "data mixing" stage of a training pipeline:
+    upsample domain g by weights[g] = 2.5 means every doc appears
+    twice plus a third time with probability 0.5; 0.25 downsamples to
+    a 1-in-4 keep; 0 drops the domain. Unlisted groups get
+    `default_weight`.
+
+    Determinism: the fractional coin is u52 < round(frac(w)·2^52),
+    where u52 is the first 13 hex chars of md5(seed:id) — a pure
+    INTEGER comparison, so the decision is identical across engines
+    (DuckDB oracle), partitionings, and retries; `rand()` is exactly
+    what this operator exists to avoid. Expected copies per doc = w.
+
+    Scale: pure projection + explode — per-row work, zero shuffles,
+    weights as map literals (same broadcast-analogue as
+    quality_model.score_text). Output adds copy_idx (0..n-1); rows
+    with 0 copies disappear. Downstream seeded_shuffle over
+    (id, copy_idx) gives each copy an independent training position.
+    """
+    bases: dict[str, int] = {}
+    thrs: dict[str, int] = {}
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {g!r}: {w}")
+        bases[g] = int(w)
+        thrs[g] = round((w - int(w)) * (1 << 52))
+    dbase = int(default_weight)
+    dthr = round((default_weight - dbase) * (1 << 52))
+
+    def _maplit(d: dict[str, int], typ: str):
+        keys = list(d.keys())
+        return F.map_from_arrays(
+            F.lit(keys).cast("array<string>"),
+            F.lit([d[k] for k in keys]).cast(f"array<{typ}>"),
+        )
+
+    g = F.col(group_col)
+    base = F.coalesce(F.element_at(_maplit(bases, "int"), g), F.lit(dbase)) \
+        if bases else F.lit(dbase)
+    thr = F.coalesce(F.element_at(_maplit(thrs, "long"), g), F.lit(dthr)) \
+        if thrs else F.lit(dthr)
+    u52 = F.conv(F.substring(_hash_key(id_col, seed), 1, 13), 16, 10).cast("long")
+    n_copies = (base + (u52 < thr).cast("int")).alias("_n_copies")
+    out = df.withColumn("_n_copies", n_copies)
+    out = out.withColumn(
+        "copy_idx",
+        F.explode(
+            F.when(F.col("_n_copies") > 0,
+                   F.sequence(F.lit(0), F.col("_n_copies") - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ),
+    )
+    return out.drop("_n_copies")

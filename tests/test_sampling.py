@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from swarm_spark.operators.sampling import (
     GlobalOrderTooLarge,
+    mixture_resample,
     pack_sequences,
     seeded_shuffle,
     stratified_sample,
@@ -109,3 +110,54 @@ def test_vocab_counts(spark):
     assert out["a"] == (3, 2)
     assert out["b"] == (3, 2)  # lowercased; double space yields no '' token
     assert out["c"] == (1, 1)
+
+
+class TestMixtureResample:
+    W = {"en": 2.5, "de": 0.25}
+
+    def test_exact_copies_vs_python(self, spark, docs):
+        out = mixture_resample(docs, self.W, group_col="lang", seed=9)
+        got = {}
+        for r in out.collect():
+            got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        import hashlib
+
+        for i in range(60):
+            lang = "en" if i % 3 else "de"
+            w = self.W[lang]
+            u52 = int(hashlib.md5(f"9:{i}".encode()).hexdigest()[:13], 16)
+            want = int(w) + (1 if u52 < round((w - int(w)) * (1 << 52)) else 0)
+            assert got.get(i, 0) == want, f"doc {i}"
+
+    def test_copy_idx_dense_from_zero(self, spark, docs):
+        out = mixture_resample(docs, self.W, group_col="lang", seed=9)
+        per_doc = (
+            out.groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.min("copy_idx").alias("lo"),
+                 F.max("copy_idx").alias("hi"))
+            .collect()
+        )
+        assert all(r["lo"] == 0 and r["hi"] == r["n"] - 1 for r in per_doc)
+
+    def test_partitioning_invariant(self, spark, docs):
+        a = mixture_resample(docs, self.W, group_col="lang", seed=9)
+        b = mixture_resample(docs.repartition(13, "lang"), self.W,
+                             group_col="lang", seed=9)
+        assert sorted(map(tuple, a.select("doc_id", "copy_idx").collect())) == \
+            sorted(map(tuple, b.select("doc_id", "copy_idx").collect()))
+
+    def test_zero_weight_drops_and_default_keeps(self, spark, docs):
+        out = mixture_resample(docs, {"de": 0.0}, group_col="lang",
+                               seed=9, default_weight=1.0)
+        langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+        assert langs == {"en"}  # de dropped; en kept once by default
+        assert out.count() == 40
+
+    def test_negative_weight_raises(self, spark, docs):
+        with pytest.raises(ValueError):
+            mixture_resample(docs, {"en": -1.0}, group_col="lang")
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        plan = mixture_resample(docs, self.W, group_col="lang") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
