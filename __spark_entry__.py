@@ -861,6 +861,31 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_vocabulary(docs, min_count=5)
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate-turn detection: turns whose exact
+    text recurs in >=5 distinct conversations (canned system prompts /
+    acks planted deterministically — the synthetic corpus has no
+    natural repeats). Agg shuffles (md5, conv_id) only; flagged set is
+    broadcast back."""
+    from swarm_spark.operators.dedup import flag_boilerplate_turns
+
+    t = transcripts_from_events(spark, sf_dir)
+    planted = t.withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") == 0,
+            F.concat(F.lit("canned system prompt "), F.substring("conv_id", -1, 1)),
+        )
+        .when((F.col("role") == "user") & (F.col("turn_idx") == 5), F.lit("thanks"))
+        .otherwise(F.col("text")),
+    )
+    out = flag_boilerplate_turns(planted, min_convs=5)
+    return out.select(
+        "conv_id", "turn_idx", "is_boilerplate",
+        F.col("bp_convs").cast("long").alias("bp_convs"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing by deterministic fractional repetition: per-lang
     weights {en:2.5, de:1, fr:0.25, es:1.5, zh:0}; the fractional coin
@@ -889,6 +914,7 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model": q_quality_model,
     "mixture": q_mixture,
+    "boilerplate": q_boilerplate,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "stratified_sample": q_stratified_sample,
@@ -1504,6 +1530,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 4) >= 0.2
         """,
         "text_stats": _textstats_oracle(),
+        "boilerplate": f"""
+            WITH transcripts AS ({_T}),
+            planted AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN turn_idx = 0
+                       THEN 'canned system prompt ' || right(conv_id, 1)
+                     WHEN role = 'user' AND turn_idx = 5 THEN 'thanks'
+                     ELSE text END AS text
+              FROM transcripts
+            ),
+            bp AS (
+              SELECT text, count(DISTINCT conv_id) AS n
+              FROM planted GROUP BY text
+              HAVING count(DISTINCT conv_id) >= 5
+            )
+            SELECT p.conv_id, p.turn_idx,
+                   bp.n IS NOT NULL AS is_boilerplate,
+                   CAST(coalesce(bp.n, 0) AS BIGINT) AS bp_convs
+            FROM planted p LEFT JOIN bp ON p.text = bp.text
+            ORDER BY p.conv_id, p.turn_idx
+        """,
         "mixture": """
             WITH p AS (
               SELECT doc_id, lang,

@@ -156,6 +156,10 @@ def main() -> None:
         "minhash_dedup": lambda i: e.q_minhash_pairs(spark, SF_DIR).count(),
         "span_dedup": lambda i: e.q_span_dedup(spark, SF_DIR).count(),
         "cosine_topk": lambda i: e.q_cosine_topk(spark, SF_DIR).collect(),
+        # scan-speed curation projections (zero-shuffle): classifier
+        # scoring and mixture resampling over the documents table
+        "quality_model": lambda i: e.q_quality_model(spark, SF_DIR).count(),
+        "mixture": lambda i: e.q_mixture(spark, SF_DIR).count(),
     }
 
     times: dict[str, list[float]] = {name: [] for name in jobs}

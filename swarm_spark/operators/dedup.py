@@ -89,6 +89,50 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def flag_boilerplate_turns(
+    df: DataFrame,
+    min_convs: int = 10,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Flag turns whose EXACT text recurs across >= min_convs distinct
+    conversations — repeated system prompts, canned greetings, tool
+    banners. Adds is_boilerplate:boolean and bp_convs:long (the
+    distinct-conversation count for flagged turns, 0 otherwise).
+
+    100 TB design: the aggregation shuffles only (md5(text), conv_id)
+    pairs — 32-byte hashes, never the text — and the qualifying set is
+    small BY CONSTRUCTION (at most total_turns / min_convs distinct
+    texts, and real boilerplate sets are tiny), so the join back is an
+    explicit broadcast: no second shuffle of the corpus. countDistinct
+    does the standard two-stage partial/final expand. md5 is 128-bit,
+    so hash-equality stands in for text-equality (collision odds
+    ~2^-128 — the same contract dedup_exact relies on).
+    """
+    h = F.md5(F.col(text_col))
+    bp = (
+        df.select(h.alias("_h"), F.col(conv_col))
+        .groupBy("_h")
+        .agg(F.countDistinct(conv_col).alias("bp_convs"))
+        .filter(F.col("bp_convs") >= max(2, int(min_convs)))
+    )
+    out = df.withColumn("_h", h).join(F.broadcast(bp), "_h", "left")
+    return (
+        out.withColumn("is_boilerplate", F.col("bp_convs").isNotNull())
+        .withColumn("bp_convs", F.coalesce(F.col("bp_convs"), F.lit(0)))
+        .drop("_h")
+    )
+
+
+def remove_boilerplate_turns(df: DataFrame, min_convs: int = 10,
+                             text_col: str = "text",
+                             conv_col: str = "conv_id") -> DataFrame:
+    """Drop cross-conversation boilerplate turns (see
+    flag_boilerplate_turns)."""
+    flagged = flag_boilerplate_turns(df, min_convs, text_col, conv_col)
+    return flagged.filter(~F.col("is_boilerplate")).drop("is_boilerplate", "bp_convs")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

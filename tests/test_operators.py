@@ -513,3 +513,56 @@ class TestRepetitionPiiDecontamination:
         plan = flag_blocked_domains(docs, block)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+class TestBoilerplateTurns:
+    def _turns(self, spark):
+        rows = []
+        for c in range(6):
+            rows.append((f"c{c}", 0, "system", "you are helpful"))  # 6 convs
+            rows.append((f"c{c}", 1, "user", f"unique question {c}"))
+        rows.append(("c0", 2, "user", "you are helpful"))  # repeat INSIDE one conv
+        rows.append(("c0", 3, "user", "thanks"))           # 1 conv only
+        rows.append(("c1", 3, "user", "thanks"))           # 2 convs
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+
+    def test_threshold_on_distinct_convs(self, spark):
+        from swarm_spark.operators.dedup import flag_boilerplate_turns
+
+        out = flag_boilerplate_turns(self._turns(spark), min_convs=6)
+        got = {(r["conv_id"], r["turn_idx"]): (r["is_boilerplate"], r["bp_convs"])
+               for r in out.collect()}
+        # "you are helpful" occurs in 6 distinct convs (7 rows: the c0
+        # repeat does not add a conv) -> flagged everywhere it appears
+        assert got[("c0", 0)] == (True, 6)
+        assert got[("c0", 2)] == (True, 6)
+        assert got[("c5", 0)] == (True, 6)
+        # "thanks" spans only 2 convs -> below min_convs=6
+        assert got[("c0", 3)] == (False, 0)
+        assert got[("c0", 1)] == (False, 0)
+
+    def test_min_convs_floor_of_two(self, spark):
+        from swarm_spark.operators.dedup import flag_boilerplate_turns
+
+        # min_convs=1 would flag EVERY turn; the operator floors at 2
+        out = flag_boilerplate_turns(self._turns(spark), min_convs=1)
+        got = {(r["conv_id"], r["turn_idx"]): r["is_boilerplate"] for r in out.collect()}
+        assert got[("c0", 1)] is False      # unique text never flagged
+        assert got[("c0", 3)] is True       # 2 convs >= floor
+
+    def test_remove_drops_only_boilerplate(self, spark):
+        from swarm_spark.operators.dedup import remove_boilerplate_turns
+
+        out = remove_boilerplate_turns(self._turns(spark), min_convs=6)
+        texts = [r["text"] for r in out.collect()]
+        assert "you are helpful" not in texts
+        assert len(texts) == 8  # 6 unique questions + 2 thanks
+        assert "is_boilerplate" not in out.columns
+
+    def test_join_back_is_broadcast(self, spark):
+        from swarm_spark.operators.dedup import flag_boilerplate_turns
+
+        plan = flag_boilerplate_turns(self._turns(spark), min_convs=2) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
