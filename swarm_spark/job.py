@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip the turn-ordering window (input guarantees order)")
     ap.add_argument("--dry-run", action="store_true",
                     help="plan + explain only; write nothing (≙ swarm --dry-run)")
+    ap.add_argument("--refresh-daily-rollup", action="store_true",
+                    help="after the ingest, bring the _agg_daily rollup table "
+                         "up to date from _agg_hourly INCREMENTALLY (scans only "
+                         "snapshots appended since the last refresh; idempotent)")
     args = ap.parse_args(argv)
 
     from swarm_spark.datagen import transcripts_from_events
@@ -70,6 +74,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     res = pipe.run(transcripts, batch_id=args.batch_id)
+    rollup = None
+    if args.refresh_daily_rollup:
+        from pyspark.sql import functions as F
+
+        from swarm_spark.incremental import refresh_agg
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(args.warehouse)
+        rollup = refresh_agg(
+            spark, cat.table("_agg_hourly"), cat.table("_agg_daily"),
+            keys=["sink", "role", "tool", "day"], sums={"turns": "n"},
+            prepare=lambda df: df.withColumn("day", F.date_trunc("day", "hour")),
+        )
     print(json.dumps({
         "batch_id": res.batch_id,
         "request_id": res.request_id,
@@ -80,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot_ids": res.snapshot_ids,
         "elapsed_sec": round(res.elapsed_sec, 3),
         "turns_per_sec": round(res.turns_per_sec, 1),
+        **({"daily_rollup": rollup} if rollup is not None else {}),
     }))
     return 0
 

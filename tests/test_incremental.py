@@ -151,3 +151,37 @@ class TestIncrementalAgg:
                for r in read_agg(spark, dst, ["sink", "hour"]).collect()}
         assert got == {("s1", "2024-01-01 10:00:00"): 3,
                        ("s2", "2024-01-01 11:00:00"): 1}
+
+
+class TestJobDailyRollup:
+    def test_cli_refresh_incremental_and_correct(self, spark, tmp_path):
+        """job.py --refresh-daily-rollup: first batch full-computes
+        _agg_daily, second batch refreshes it INCREMENTALLY, and the
+        merged rollup equals a full recompute over _agg_hourly."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark import job
+        from swarm_spark.incremental import read_agg
+        from swarm_spark.tablestore import IcepackCatalog
+
+        wh = str(tmp_path / "wh")
+        base = ["--input", "/root/testdata/sf0.001", "--derive-from-events",
+                "--warehouse", wh, "--refresh-daily-rollup", "--cpus", "8"]
+        assert job.main(base + ["--batch-id", "b1"]) == 0
+        assert job.main(base + ["--batch-id", "b2"]) == 0
+
+        cat = IcepackCatalog(wh)
+        hourly, daily = cat.table("_agg_hourly"), cat.table("_agg_daily")
+        # checkpoint tracked the source head
+        assert daily.current_snapshot()["src_snapshot_id"] == \
+            hourly.current_snapshot()["snapshot_id"]
+        # second refresh appended a delta (op=append), not a rewrite
+        assert daily.current_snapshot()["op"] == "append"
+
+        keys = ["sink", "role", "tool", "day"]
+        got = read_agg(spark, daily, keys, sums={"turns": "n"}) \
+            .select(*keys, "turns")
+        want = (hourly.read(spark)
+                .withColumn("day", F.date_trunc("day", "hour"))
+                .groupBy(*keys).agg(F.sum("n").alias("turns")))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
