@@ -861,6 +861,28 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_vocabulary(docs, min_count=5)
 
 
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log template mining: digit-bearing tokens are
+    variable slots; one codegen regexp + one skeleton-keyed agg."""
+    from swarm_spark.operators.logmine import log_templates
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = log_templates(t)
+    return out.select("template", "n_lines", "example").orderBy("template")
+
+
+def q_tool_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact rate-spike detection per (tool, hour): n vs the
+    trailing 6 observed hours, spike iff n*cnt > 2*sum (no floats)."""
+    from swarm_spark.operators.logmine import hourly_spikes
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = hourly_spikes(t, key_col="tool", ts_col="ts",
+                        window_hours=6, factor=2, min_history=3)
+    return out.select("key", "hour", "n", "trail_sum", "trail_cnt",
+                      "is_spike").orderBy("key", "hour")
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-conversation boilerplate-turn detection: turns whose exact
     text recurs in >=5 distinct conversations (canned system prompts /
@@ -915,6 +937,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model": q_quality_model,
     "mixture": q_mixture,
     "boilerplate": q_boilerplate,
+    "log_templates": q_log_templates,
+    "tool_spikes": q_tool_spikes,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "stratified_sample": q_stratified_sample,
@@ -1530,6 +1554,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 4) >= 0.2
         """,
         "text_stats": _textstats_oracle(),
+        "log_templates": "WITH transcripts AS (" + _T + r"""),
+            sk AS (
+              SELECT regexp_replace(text, '\S*\d\S*', '<*>', 'g') AS template, text
+              FROM transcripts
+            )
+            SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+                   min(text) AS example
+            FROM sk GROUP BY template ORDER BY template
+        """,
+        "tool_spikes": f"""
+            WITH transcripts AS ({_T}),
+            c AS (
+              SELECT tool AS key, date_trunc('hour', ts) AS hour,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT key, hour, n,
+                CAST(coalesce(sum(n) OVER (PARTITION BY key ORDER BY hour
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum,
+                CAST(count(n) OVER (PARTITION BY key ORDER BY hour
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_cnt
+              FROM c
+            )
+            SELECT key, hour, n, trail_sum, trail_cnt,
+                   (trail_cnt >= 3 AND n * trail_cnt > 2 * trail_sum) AS is_spike
+            FROM w ORDER BY key, hour
+        """,
         "boilerplate": f"""
             WITH transcripts AS ({_T}),
             planted AS (
