@@ -861,6 +861,15 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_vocabulary(docs, min_count=5)
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc: ranked on tf/df (IEEE-exact
+    double), tf-idf reported rounded; ties broken on token."""
+    from swarm_spark.operators.textstats import doc_tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
 def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain-style log template mining: digit-bearing tokens are
     variable slots; one codegen regexp + one skeleton-keyed agg."""
@@ -939,6 +948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate": q_boilerplate,
     "log_templates": q_log_templates,
     "tool_spikes": q_tool_spikes,
+    "tfidf": q_tfidf,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "stratified_sample": q_stratified_sample,
@@ -1554,6 +1564,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 4) >= 0.2
         """,
         "text_stats": _textstats_oracle(),
+        "tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t <> '')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, token
+            ),
+            dfreq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+              FROM tf GROUP BY token
+            ),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+                     CAST(tf.tf AS DOUBLE) / dfreq.doc_freq AS score,
+                     round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.doc_freq), 4) AS tfidf
+              FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+            )
+            SELECT doc_id, token, tf, doc_freq, score, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+            ORDER BY doc_id, rank
+        """,
         "log_templates": "WITH transcripts AS (" + _T + r"""),
             sk AS (
               SELECT regexp_replace(text, '\S*\d\S*', '<*>', 'g') AS template, text

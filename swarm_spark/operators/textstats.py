@@ -247,3 +247,54 @@ def corpus_vocabulary(
         )
         .filter(F.col("count") >= min_count)
     )
+
+
+def doc_tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document, ranked by tf/df with
+    tf-idf (ln) reported alongside: (doc_id, token, tf, doc_freq,
+    score, tfidf, rank).
+
+    RANKING is on score = tf / doc_freq (double): IEEE division is
+    correctly rounded in every engine, so the ranking key — and
+    therefore the selected top-k SET — is a deterministic function of
+    the integer (tf, doc_freq) pair, unlike ln-based scores whose last
+    ulp may differ between libm implementations and flip a k-boundary
+    tie. Ties break on token ASC (row_number, fully deterministic).
+    The familiar tfidf = tf * ln(N/df) value rides along rounded to 4
+    decimals for reporting.
+
+    Scale shape: explode → (doc, token) tf agg → token-keyed doc_freq
+    agg → token join back → per-doc window. Three shuffles plus the
+    per-doc top-k window; every stage is keyed, no global sort, and
+    the window input is (doc, distinct-token) pairs, not positions.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") / F.col("doc_freq"))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("doc_freq")), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "doc_freq", "score", "tfidf", "rank")
+    )

@@ -68,3 +68,32 @@ class TestHourlySpikes:
             "tool", F.when(F.col("tool") == "toolB", None).otherwise(F.col("tool")))
         keys = {r["key"] for r in hourly_spikes(df).select("key").distinct().collect()}
         assert keys == {"toolA"}
+
+
+class TestTfidfTopk:
+    def test_ranking_and_tiebreak(self, spark):
+        from swarm_spark.operators.textstats import doc_tfidf_topk
+
+        df = spark.createDataFrame(
+            [(1, "apple apple banana common"),
+             (2, "banana cherry common"),
+             (3, "common common dog")],
+            "doc_id bigint, text string")
+        out = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["doc_freq"])
+               for r in doc_tfidf_topk(df, k=2).collect()}
+        # doc 1: apple tf=2 df=1 (score 2.0) > banana tf=1 df=2 (0.5)
+        assert out[(1, 1)] == ("apple", 2, 1)
+        assert out[(1, 2)] == ("banana", 1, 2)
+        # doc 2: banana (1/2) and cherry (1/1): cherry wins on score
+        assert out[(2, 1)] == ("cherry", 1, 1)
+        assert out[(2, 2)] == ("banana", 1, 2)
+        # doc 3: common tf=2 df=3 (0.667) vs dog 1/1 (1.0) -> dog first
+        assert out[(3, 1)] == ("dog", 1, 1)
+        assert out[(3, 2)] == ("common", 2, 3)
+
+    def test_equal_scores_tie_on_token(self, spark):
+        from swarm_spark.operators.textstats import doc_tfidf_topk
+
+        df = spark.createDataFrame([(1, "zeta alpha")], "doc_id bigint, text string")
+        rows = doc_tfidf_topk(df, k=2).orderBy("rank").collect()
+        assert [r["token"] for r in rows] == ["alpha", "zeta"]
