@@ -99,3 +99,17 @@ class TestTokenBuckets:
         a = [r["b"] for r in df.collect()]
         assert a == [r["b"] for r in twice.collect()]
         assert all(0 <= x < 32 for row in a for x in row)
+
+
+def test_huge_sparse_model_refused_with_guidance(spark):
+    from swarm_spark.operators.quality_model import (
+        DENSE_ARRAY_MAX_BUCKETS, LinearTextModel, score_text)
+
+    n = DENSE_ARRAY_MAX_BUCKETS * 2
+    big = LinearTextModel(n_buckets=n,
+                          weights_milli={b: 1 for b in range(200)})
+    try:
+        score_text(_docs(spark), big)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "score_text_joined" in str(e)
