@@ -861,6 +861,25 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_vocabulary(docs, min_count=5)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→signup→purchase per user: one
+    entity-keyed aggregation; pure-integer conversion counts."""
+    from swarm_spark.operators.analytics import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["view", "click", "signup", "purchase"]) \
+        .orderBy("step_idx")
+
+
+def q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events; integer day-diff
+    offsets, distinct-entity counts."""
+    from swarm_spark.operators.analytics import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, period="week").orderBy("cohort", "period_offset")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc: ranked on tf/df (IEEE-exact
     double), tf-idf reported rounded; ties broken on token."""
@@ -949,6 +968,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_templates": q_log_templates,
     "tool_spikes": q_tool_spikes,
     "tfidf": q_tfidf,
+    "funnel": q_funnel,
+    "cohorts": q_cohorts,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "stratified_sample": q_stratified_sample,
@@ -1564,6 +1585,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 4) >= 0.2
         """,
         "text_stats": _textstats_oracle(),
+        "funnel": """
+            WITH per_user AS (
+              SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                min(CASE WHEN event_type = 'signup' THEN ts END) AS t2,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+              FROM events GROUP BY user_id
+            ),
+            c AS (
+              SELECT
+                CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                          AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                          AND t2 IS NOT NULL AND t2 > t1
+                          AND t3 IS NOT NULL AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+              FROM per_user
+            )
+            SELECT * FROM (
+              SELECT 0 AS step_idx, 'view' AS step, n0 AS n_entities FROM c
+              UNION ALL SELECT 1, 'click', n1 FROM c
+              UNION ALL SELECT 2, 'signup', n2 FROM c
+              UNION ALL SELECT 3, 'purchase', n3 FROM c
+            ) ORDER BY step_idx
+        """,
+        "cohorts": """
+            WITH first AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort
+              FROM events GROUP BY user_id
+            ),
+            active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+            )
+            SELECT f.cohort,
+                   CAST(datediff('day', f.cohort, a.p) / 7 AS INT) AS period_offset,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_entities
+            FROM active a JOIN first f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "tfidf": r"""
             WITH toks AS (
               SELECT doc_id,
