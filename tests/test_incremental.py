@@ -185,3 +185,23 @@ class TestJobDailyRollup:
                 .withColumn("day", F.date_trunc("day", "hour"))
                 .groupBy(*keys).agg(F.sum("n").alias("turns")))
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+class TestExpiryInterplay:
+    def test_expired_checkpoint_forces_full_refresh(self, spark, tmp_path):
+        """If snapshot GC removes the snapshot a consumer checkpointed,
+        changes_between raises (loudly — never a silent wrong diff) and
+        refresh_agg falls back to a full recompute."""
+        cat = IcepackCatalog(str(tmp_path))
+        src, dst = cat.table("f"), cat.table("a")
+        src.append(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+        refresh_agg(spark, src, dst, ["k"])
+        src.append(spark.createDataFrame([("b", 2)], "k string, v bigint"))
+        src.append(spark.createDataFrame([("c", 3)], "k string, v bigint"))
+        src.expire_snapshots(keep_last=1)  # checkpointed snapshot GONE
+        with pytest.raises(IncrementalReadError):
+            src.changes_between(1)
+        r = refresh_agg(spark, src, dst, ["k"])
+        assert r["mode"] == "full"
+        assert _rows(read_agg(spark, dst, ["k"]), "k", "n") == \
+            [("a", 1), ("b", 1), ("c", 1)]
