@@ -205,3 +205,63 @@ class TestExpiryInterplay:
         assert r["mode"] == "full"
         assert _rows(read_agg(spark, dst, ["k"]), "k", "n") == \
             [("a", 1), ("b", 1), ("c", 1)]
+
+
+class TestStreamingFeedsRollup:
+    def test_stream_epochs_then_incremental_rollup(self, spark, tmp_path):
+        """Streaming epochs append snapshots to the sink tables; a
+        downstream rollup consumer then refreshes incrementally from
+        those appends and matches a full recompute."""
+        from swarm_spark.datagen import generate_transcripts
+        from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+        from swarm_spark.presets import (
+            default_event_rules,
+            default_schema_rules,
+            default_tool_dim,
+        )
+        from swarm_spark.streaming.ingest import (
+            start_ingest_stream,
+            stream_transcripts,
+        )
+
+        src = str(tmp_path / "src")
+        generate_transcripts(spark, 800, n_convs=16, seed=7) \
+            .repartition(6).write.parquet(src)  # 6 files → 3 light epochs
+        cfg = PipelineConfig(
+            event_rules=default_event_rules(),
+            schema_rules=default_schema_rules(),
+            warehouse=str(tmp_path / "wh"),
+            tool_dim=default_tool_dim(spark),
+        )
+        pipe = IngestPipeline(spark, cfg)
+        q = start_ingest_stream(
+            stream_transcripts(spark, src, max_files_per_trigger=2),
+            pipe, str(tmp_path / "ckpt"), epoch_mode="light")
+        q.awaitTermination(120)
+
+        sink = pipe.catalog.table("sink_tools")
+        assert len(sink.snapshots()) >= 2  # multiple epochs landed
+
+        rollup = pipe.catalog.table("sink_tools_hourly")
+        keys = ["role", "tool", "hour"]
+        prep = lambda df: df.withColumn(  # noqa: E731
+            "hour", F.date_trunc("hour", F.col("timestamp")))
+        r1 = refresh_agg(spark, sink, rollup, keys, prepare=prep)
+        assert r1["mode"] == "full"
+
+        # a second stream over NEW files appends more snapshots
+        generate_transcripts(spark, 400, n_convs=8, seed=8) \
+            .repartition(4).write.mode("append").parquet(src)
+        q2 = start_ingest_stream(
+            stream_transcripts(spark, src, max_files_per_trigger=2),
+            pipe, str(tmp_path / "ckpt"), epoch_mode="light")
+        q2.awaitTermination(120)
+
+        r2 = refresh_agg(spark, sink, rollup, keys, prepare=prep)
+        assert r2["mode"] == "incremental"
+        got = _rows(read_agg(spark, rollup, keys), *keys, "n")
+        want = _rows(
+            prep(sink.read(spark)).groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n")),
+            *keys, "n")
+        assert got == want and len(got) > 0

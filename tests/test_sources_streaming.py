@@ -122,7 +122,7 @@ class TestStreaming:
         q = start_ingest_stream(stream, pipe, str(tmp_path / "ckpt"))
         q.awaitTermination(120)
 
-        # batch reference over the same rows (ordering-free路徑)
+        # batch reference over the same rows (ordering-free path)
         pipe.config.assume_ordered = True
         exp = pipe.routed(t, ingest_id="x").groupBy("sink_table").count().collect()
         exp_counts = {r.sink_table: r["count"] for r in exp}
