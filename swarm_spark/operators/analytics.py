@@ -75,20 +75,23 @@ def cohort_retention(
     cohort = period-truncated first-event time and period_offset counts
     periods since the cohort (0 = the cohort period itself)."""
     days = {"day": 1, "week": 7}[period]
-    first = df.groupBy(entity_col).agg(
-        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    # ONE corpus-sized shuffle: cohort (min ts) and the entity's
+    # distinct active periods ride the same entity-keyed aggregation
+    # (collect_set is bounded by periods-per-entity, i.e. tens, not by
+    # event count). The explode and final matrix agg then run over
+    # entity x active-period rows — entity-count-sized data.
+    per_entity = df.groupBy(entity_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort"),
+        F.collect_set(F.date_trunc(period, F.col(ts_col))).alias("_ps"),
     )
-    active = df.select(
-        F.col(entity_col),
-        F.date_trunc(period, F.col(ts_col)).alias("_p"),
-    ).distinct()
-    joined = active.join(first, entity_col)
+    exploded = per_entity.select(
+        entity_col, "cohort", F.explode("_ps").alias("_p"))
     return (
-        joined.groupBy(
+        exploded.groupBy(
             "cohort",
             (F.datediff(F.col("_p"), F.col("cohort")) / days)
             .cast("int")
             .alias("period_offset"),
         )
-        .agg(F.countDistinct(entity_col).alias("n_entities"))
+        .agg(F.count(F.lit(1)).alias("n_entities"))
     )
