@@ -861,6 +861,25 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_vocabulary(docs, min_count=5)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: new docs (doc_id % 5 == 0) paired against
+    the existing corpus and each other — old x old never generated.
+    Same banding/verify arithmetic as minhash_pairs (recall pinned by
+    the same completeness argument); oracle recomputes the exact
+    J>=0.8 pair set restricted to pairs touching a new doc."""
+    from swarm_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    pairs = minhash_lsh_pairs_incremental(new, old, num_hashes=64, bands=16)
+    return (
+        pairs.filter(F.col("inter") * 10 >= F.col("union_sz") * 8)
+        .select("id_a", "id_b", "kind",
+                F.expr("(1000000 * inter) div union_sz").alias("j_q"))
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→signup→purchase per user: one
     entity-keyed aggregation; pure-integer conversion counts."""
@@ -970,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": q_tfidf,
     "funnel": q_funnel,
     "cohorts": q_cohorts,
+    "incremental_dedup": q_incremental_dedup,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "stratified_sample": q_stratified_sample,
@@ -1585,6 +1605,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 4) >= 0.2
         """,
         "text_stats": _textstats_oracle(),
+        "incremental_dedup": rf"""
+            WITH {_SHINGLES.strip()},
+            ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS x, b.doc_id AS y,
+                     count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            f AS (
+              SELECT x, y, inter, na, nb,
+                     (x % 5 = 0) AS xn, (y % 5 = 0) AS yn
+              FROM pairs
+              WHERE 10 * inter >= 8 * (na + nb - inter)
+                AND ((x % 5 = 0) OR (y % 5 = 0)))
+            SELECT CASE WHEN xn THEN x ELSE y END AS id_a,
+                   CASE WHEN xn THEN y ELSE x END AS id_b,
+                   CASE WHEN xn AND yn THEN 'new_new' ELSE 'new_old' END AS kind,
+                   (1000000 * inter) // (na + nb - inter) AS j_q
+            FROM f
+        """,
         "funnel": """
             WITH per_user AS (
               SELECT user_id,

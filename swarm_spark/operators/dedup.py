@@ -247,6 +247,123 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable LSH index: (id, band, bucket) rows — bands x
+    n_docs rows of three ints, tiny next to the corpus. At 100 TB this
+    table is what you STORE (e.g. an icepack table, appending each
+    increment's rows) so that daily increments never re-signature the
+    historical corpus. Same banding arithmetic as minhash_lsh_pairs —
+    indexes built with identical (num_hashes, bands, seed) are
+    join-compatible."""
+    rows_per_band = num_hashes // bands
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col).alias("_sh"))
+    base = base.withColumn("_sig", minhash_signature("_sh", num_hashes, seed))
+    band_arr = F.array(*[
+        F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
+        for b in range(bands)
+    ])
+    return base.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 16,
+    seed: int = 42,
+    old_index: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs for a corpus INCREMENT: candidates are new x new
+    and new x old — old x old pairs are never generated or verified,
+    so a daily increment costs O(new x collision rate), not a corpus
+    re-pair. Ids must be globally unique across both frames (the same
+    contract an append-only corpus gives you).
+
+    `old_index`: pass a stored minhash_band_index of the historical
+    corpus (built with the SAME num_hashes/bands/seed) and the old
+    side is never re-signatured either — the only touch on the old
+    CORPUS is the shingle recompute for the (few) matched candidates,
+    pruned with a broadcast semi-join on candidate ids before
+    tokenization.
+
+    Returns (id_a, id_b, kind, inter, union_sz, jaccard) with
+    kind ∈ {'new_new', 'new_old'}; for new_new, id_a < id_b; for
+    new_old, id_a is the new doc."""
+    new_banded = minhash_band_index(new_df, text_col, id_col,
+                                    num_hashes, bands, seed)
+    old_banded = old_index if old_index is not None else minhash_band_index(
+        old_df, text_col, id_col, num_hashes, bands, seed)
+
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    cand_nn = (
+        a.join(b, (F.col("a._band") == F.col("b._band"))
+               & (F.col("a._bucket") == F.col("b._bucket"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("kind", F.lit("new_new"))
+    )
+    o = old_banded.alias("o")
+    cand_no = (
+        a.join(o, (F.col("a._band") == F.col("o._band"))
+               & (F.col("a._bucket") == F.col("o._bucket")))
+        .select(F.col("a._id").alias("id_a"), F.col("o._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("kind", F.lit("new_old"))
+    )
+    cand = cand_nn.unionByName(cand_no)
+
+    new_sh = new_df.select(F.col(id_col).alias("_id"),
+                           shingles(text_col).alias("_sh"))
+    # prune the old corpus to matched candidates BEFORE tokenizing
+    old_ids = cand_no.select(F.col("id_b").alias(id_col)).distinct()
+    old_sh = old_df.join(F.broadcast(old_ids), id_col, "left_semi") \
+        .select(F.col(id_col).alias("_id"), shingles(text_col).alias("_sh"))
+    sh = new_sh.unionByName(old_sh)
+    cand = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return cand.select(
+        "id_a", "id_b", "kind",
+        inter.alias("inter"), union.alias("union_sz"),
+        (inter / union).alias("jaccard"),
+    )
+
+
+def dedup_minhash_incremental(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Admit only the increment's non-duplicates: a new doc is dropped
+    if it matches the existing corpus (any new_old pair) or an
+    earlier-id new doc (greedy min-id within the increment)."""
+    pairs = minhash_lsh_pairs_incremental(
+        new_df, old_df, text_col, id_col, **kw
+    ).filter(F.col("inter") * 1_000_000 >= F.col("union_sz") * int(threshold * 1_000_000))
+    losers_vs_old = pairs.filter(F.col("kind") == "new_old") \
+        .select(F.col("id_a").alias(id_col))
+    losers_in_new = pairs.filter(F.col("kind") == "new_new") \
+        .select(F.col("id_b").alias(id_col))
+    losers = losers_vs_old.unionByName(losers_in_new).distinct()
+    return new_df.join(losers, id_col, "left_anti")
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",

@@ -566,3 +566,59 @@ class TestBoilerplateTurns:
         plan = flag_boilerplate_turns(self._turns(spark), min_convs=2) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestIncrementalDedup:
+    def _corpus(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, base),                          # old
+            (2, base + " extra"),               # old near-dup of 1
+            (3, "totally different words here in this document friend"),  # old
+            (10, base),                         # NEW: dup of old 1/2
+            (11, "totally different words here in this document friend"),  # NEW: dup of old 3
+            (12, "fresh unique content nothing like anything else at all"),  # NEW: unique
+            (13, "fresh unique content nothing like anything else at most"),  # NEW: near-dup of 12
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return docs.filter("doc_id >= 10"), docs.filter("doc_id < 10")
+
+    def test_no_old_old_pairs_and_kinds(self, spark):
+        from swarm_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+        new, old = self._corpus(spark)
+        pairs = minhash_lsh_pairs_incremental(new, old, num_hashes=64, bands=32)
+        rows = pairs.filter("jaccard >= 0.5").collect()
+        kinds = {(r["id_a"], r["id_b"]): r["kind"] for r in rows}
+        # old x old (1,2) must NOT appear even though they are near-dups
+        assert all(not (a < 10 and b < 10) for a, b in kinds)
+        assert kinds[(10, 1)] == "new_old"
+        assert kinds[(10, 2)] == "new_old"
+        assert kinds[(11, 3)] == "new_old"
+        assert kinds[(12, 13)] == "new_new"
+
+    def test_stored_index_equivalent(self, spark):
+        from swarm_spark.operators.dedup import (
+            minhash_band_index,
+            minhash_lsh_pairs_incremental,
+        )
+
+        new, old = self._corpus(spark)
+        idx = minhash_band_index(old, num_hashes=64, bands=32)
+        direct = minhash_lsh_pairs_incremental(new, old, num_hashes=64, bands=32)
+        via_idx = minhash_lsh_pairs_incremental(new, old, num_hashes=64,
+                                                bands=32, old_index=idx)
+        key = lambda df: sorted(  # noqa: E731
+            (r["id_a"], r["id_b"], r["kind"], r["inter"], r["union_sz"])
+            for r in df.collect())
+        assert key(direct) == key(via_idx)
+
+    def test_dedup_admits_only_novel(self, spark):
+        from swarm_spark.operators.dedup import dedup_minhash_incremental
+
+        new, old = self._corpus(spark)
+        kept = sorted(r["doc_id"] for r in
+                      dedup_minhash_incremental(new, old, threshold=0.5,
+                                                num_hashes=64, bands=32).collect())
+        # 10, 11 duplicate the old corpus; 13 loses to 12 within the increment
+        assert kept == [12]
