@@ -1,0 +1,106 @@
+"""Warehouse maintenance CLI — the Iceberg-procedures analogue
+(rewrite_data_files / expire_snapshots) plus rollup refresh, run as a
+scheduled job beside the ingest:
+
+    python swarm_spark/maintain.py --warehouse /path/wh \
+        --compact-above-files 64 --expire-keep 5 --refresh-daily-rollup
+
+Small-file compaction matters at 100 TB: every streaming epoch / batch
+append adds a data dir, and scan planning degrades as file counts grow.
+Policy here is count-triggered: a table is rewritten only when its live
+file count exceeds the threshold (compaction is a full rewrite of
+CURRENT — cheap for agg/audit tables, scheduled off-peak for fact
+tables). Expiry then drops snapshot metadata past --expire-keep and
+vacuums unreferenced dirs. Both are per-table atomic snapshot commits;
+a concurrent append aborts the rewrite, never the other way around.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+if __package__ in (None, ""):  # direct script / spark-submit invocation
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def live_file_count(table) -> int:
+    """Parquet files referenced by CURRENT (not historical dirs)."""
+    snap = table.current_snapshot()
+    if snap is None:
+        return 0
+    n = 0
+    for d in snap["data_dirs"]:
+        for root, _dirs, files in os.walk(d):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def maintain(spark, warehouse: str, tables: list[str] | None = None,
+             compact_above_files: int = 0, target_files: int | None = None,
+             expire_keep: int = 0, refresh_daily_rollup: bool = False) -> dict:
+    from pyspark.sql import functions as F
+
+    from swarm_spark.incremental import refresh_agg
+    from swarm_spark.tablestore import CommitConflict, IcepackCatalog
+
+    cat = IcepackCatalog(warehouse)
+    names = tables or cat.tables()
+    report: dict = {"tables": {}}
+    for name in names:
+        t = cat.table(name)
+        if not t.exists():
+            continue
+        entry: dict = {"files_before": live_file_count(t)}
+        if compact_above_files and entry["files_before"] > compact_above_files:
+            try:
+                t.compact(spark, target_files=target_files)
+                entry["compacted"] = True
+                entry["files_after"] = live_file_count(t)
+            except CommitConflict:
+                entry["compacted"] = False  # writer won; retry next run
+        if expire_keep:
+            entry["expired"] = t.expire_snapshots(keep_last=expire_keep)
+        report["tables"][name] = entry
+    if refresh_daily_rollup and cat.table("_agg_hourly").exists():
+        report["daily_rollup"] = refresh_agg(
+            spark, cat.table("_agg_hourly"), cat.table("_agg_daily"),
+            keys=["sink", "role", "tool", "day"], sums={"turns": "n"},
+            prepare=lambda df: df.withColumn("day", F.date_trunc("day", "hour")),
+        )
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="swarm-spark-maintain", description=__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--tables", nargs="*", default=None,
+                    help="default: every table in the warehouse")
+    ap.add_argument("--compact-above-files", type=int, default=0,
+                    help="rewrite a table whose live parquet file count exceeds N")
+    ap.add_argument("--target-files", type=int, default=None,
+                    help="coalesce the rewrite to at most N files")
+    ap.add_argument("--expire-keep", type=int, default=0,
+                    help="expire snapshots older than the newest K; vacuum dirs")
+    ap.add_argument("--refresh-daily-rollup", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from swarm_spark.session import get_spark
+
+    spark = get_spark("swarm_spark_maintain", cpus=args.cpus)
+    report = maintain(
+        spark, args.warehouse, tables=args.tables,
+        compact_above_files=args.compact_above_files,
+        target_files=args.target_files,
+        expire_keep=args.expire_keep,
+        refresh_daily_rollup=args.refresh_daily_rollup,
+    )
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Warehouse maintenance CLI (swarm_spark/maintain.py): count-triggered
+compaction, snapshot expiry + vacuum, rollup refresh."""
+
+from __future__ import annotations
+
+import os
+
+from swarm_spark.maintain import live_file_count, maintain
+from swarm_spark.tablestore import IcepackCatalog
+
+
+def _fragmented_table(spark, root, name="t", appends=6):
+    cat = IcepackCatalog(root)
+    t = cat.table(name)
+    for i in range(appends):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "a bigint, b string"))
+    return t
+
+
+class TestMaintain:
+    def test_compaction_triggered_by_file_count(self, spark, tmp_path):
+        t = _fragmented_table(spark, str(tmp_path))
+        before = live_file_count(t)
+        assert before >= 6
+        rep = maintain(spark, str(tmp_path), compact_above_files=3,
+                       target_files=1)
+        e = rep["tables"]["t"]
+        assert e["compacted"] and e["files_after"] < before
+        # data intact after the rewrite
+        assert sorted(r["a"] for r in t.read(spark).collect()) == list(range(6))
+
+    def test_below_threshold_untouched(self, spark, tmp_path):
+        t = _fragmented_table(spark, str(tmp_path), appends=2)
+        sid = t.current_snapshot()["snapshot_id"]
+        rep = maintain(spark, str(tmp_path), compact_above_files=10)
+        assert "compacted" not in rep["tables"]["t"]
+        assert t.current_snapshot()["snapshot_id"] == sid
+
+    def test_expiry_vacuums_old_dirs(self, spark, tmp_path):
+        t = _fragmented_table(spark, str(tmp_path))
+        maintain(spark, str(tmp_path), compact_above_files=1, target_files=1)
+        rep = maintain(spark, str(tmp_path), expire_keep=1)
+        assert rep["tables"]["t"]["expired"]["expired"] >= 1
+        # only CURRENT's dirs remain on disk
+        snap = t.current_snapshot()
+        live = {os.path.basename(d) for d in snap["data_dirs"]}
+        on_disk = {d for d in os.listdir(t.data) if d.startswith("_s=")}
+        assert on_disk == live
+        assert t.read(spark).count() == 6
+
+    def test_rollup_refresh_via_maintain(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        cat = IcepackCatalog(str(tmp_path))
+        hourly = cat.table("_agg_hourly")
+        hourly.append(spark.createDataFrame(
+            [("s1", "user", "t1", "2024-01-01 10:00:00", 4)],
+            "sink string, role string, tool string, hour_s string, n bigint")
+            .select("sink", "role", "tool",
+                    F.col("hour_s").cast("timestamp").alias("hour"), "n"))
+        rep = maintain(spark, str(tmp_path), refresh_daily_rollup=True)
+        assert rep["daily_rollup"]["mode"] == "full"
+        daily = cat.table("_agg_daily")
+        rows = daily.read(spark).collect()
+        assert len(rows) == 1 and rows[0]["turns"] == 4
