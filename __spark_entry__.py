@@ -812,6 +812,30 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(encoded_media_from_documents(docs, limit_ids=100))
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize roundtrip: deterministic gradient PNGs are resized
+    5x4 by nearest-neighbor (index arithmetic — engine-reproducible),
+    re-encoded, decoded again; the oracle predicts every stat of the
+    resized image arithmetically from the generation formulas and the
+    gather indices (y*h//4, x*w//5)."""
+    from swarm_spark.operators.multimodal import (
+        decode_media,
+        encoded_media_from_documents,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = encoded_media_from_documents(docs, limit_ids=100) \
+        .filter(F.col("kind") == "image")
+    resized = resize_images(media.select("media_id", "payload"), width=5, height=4)
+    dec = decode_media(resized.select("media_id", "payload"))
+    return (
+        dec.join(resized.select("media_id", "src_width", "src_height"), "media_id")
+        .select("media_id", "src_width", "src_height", "n_channels",
+                "value_mean", "value_min", "value_max")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: exactly min(8, |stratum|)
     docs per (lang, source) by seeded md5 rank (8 < the largest
@@ -992,6 +1016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
     "stratified_sample": q_stratified_sample,
     "seeded_shuffle": q_seeded_shuffle,
     "pack_sequences": q_pack_sequences,
@@ -1329,6 +1354,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS count, count(DISTINCT doc_id) AS doc_freq
             FROM toks WHERE token != ''
             GROUP BY token HAVING count(*) >= 5
+        """,
+        "media_resize": """
+            WITH ids AS (SELECT doc_id AS d FROM documents
+                         WHERE doc_id < 100 AND doc_id % 2 = 0),
+            dims AS (SELECT d, d % 16 + 4 AS w, d % 8 + 3 AS h,
+                            d % 5 + 1 AS step FROM ids),
+            px AS (
+              SELECT d, w, h,
+                     ((((yy * h) // 4) * w + ((xx * w) // 5)) * step) % 256 AS v
+              FROM dims,
+                   generate_series(0, 3) AS t1(yy),
+                   generate_series(0, 4) AS t2(xx)
+            )
+            SELECT CAST(d AS VARCHAR) AS media_id,
+                   CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
+                   1 AS n_channels,
+                   avg(v) AS value_mean,
+                   CAST(min(v) AS INT) AS value_min,
+                   CAST(max(v) AS INT) AS value_max
+            FROM px GROUP BY d, w, h
         """,
         "media_decode": """
             WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),

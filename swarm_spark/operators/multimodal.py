@@ -162,6 +162,67 @@ def decode_media(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id string, payload binary, width int, height int, "
+    "n_channels int, src_width int, src_height int"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  on_error: str = "raise") -> DataFrame:
+    """REAL image resize over a binary PNG column: decode with the
+    stdlib codec, nearest-neighbor sample to (width, height) in one
+    vectorized numpy gather, re-encode PNG — all inside a single
+    mapInPandas pass, so payloads stream through each partition once
+    and never shuffle. Nearest-neighbor is deterministic (index
+    arithmetic only, no resampling-kernel float policy), which keeps
+    the output byte-reproducible across engines and retries — the
+    property every other operator here is built around. Non-PNG /
+    codec-library formats follow decode_media's contract: 'raise'
+    (default) or 'null' (payload NULL, src dims NULL — triage mode).
+
+    The thumbnail-at-scale shape: output rows carry the RESIZED
+    payload (target-size-bounded), so downstream stages shuffle
+    thumbnails, not originals."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error={on_error!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError("target dims must be positive")
+    from .media_codecs import png_decode, png_encode, sniff
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                buf = bytes(payload) if payload is not None else b""
+                if sniff(buf) != "png":
+                    if on_error == "raise":
+                        raise NotImplementedError(
+                            f"resize_images: payload for {mid!r} is not PNG "
+                            "(codec-library formats are a documented boundary)"
+                        )
+                    rows.append({"media_id": mid, "payload": None,
+                                 "width": width, "height": height,
+                                 "n_channels": None,
+                                 "src_width": None, "src_height": None})
+                    continue
+                w0, h0, c, px = png_decode(buf)
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                out = px[ys][:, xs]  # vectorized nearest-neighbor gather
+                rows.append({"media_id": mid, "payload": png_encode(out),
+                             "width": width, "height": height,
+                             "n_channels": c,
+                             "src_width": w0, "src_height": h0})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height",
+                               "n_channels", "src_width", "src_height"])
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame, limit_ids: int | None = 100) -> DataFrame:
     """Deterministic media table derived from the documents corpus:
     payload = utf-8 bytes of the text, kind cycles by doc_id % 3.

@@ -159,3 +159,55 @@ class TestSparkOperators:
         r = extract_features(df, decoder="real", feature_dim=8).collect()[0]
         assert r.media_id == "m1" and len(r.feature) == 8
         assert r.feature[0] == 1.0 and r.feature[4] == 3.0  # kind flag, mean
+
+
+class TestResizeImages:
+    def _media(self, spark, arrs):
+        from swarm_spark.operators.media_codecs import png_encode
+
+        rows = [(f"m{i}", bytearray(png_encode(a))) for i, a in enumerate(arrs)]
+        return spark.createDataFrame(rows, "media_id string, payload binary")
+
+    def test_downscale_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from swarm_spark.operators.media_codecs import png_decode
+        from swarm_spark.operators.multimodal import resize_images
+
+        rng = np.random.RandomState(3)
+        src = rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)
+        out = resize_images(self._media(spark, [src]), width=6, height=4).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["width"], r["height"], r["n_channels"]) == (6, 4, 3)
+        assert (r["src_width"], r["src_height"]) == (12, 8)
+        w, h, c, px = png_decode(bytes(r["payload"]))
+        ys = (np.arange(4) * 8) // 4
+        xs = (np.arange(6) * 12) // 6
+        assert (w, h, c) == (6, 4, 3)
+        assert np.array_equal(px, src[ys][:, xs])
+
+    def test_upscale_gray(self, spark):
+        import numpy as np
+
+        from swarm_spark.operators.media_codecs import png_decode
+        from swarm_spark.operators.multimodal import resize_images
+
+        src = np.arange(6, dtype=np.uint8).reshape(2, 3)
+        out = resize_images(self._media(spark, [src]), width=6, height=4).collect()
+        w, h, c, px = png_decode(bytes(out[0]["payload"]))
+        assert (w, h, c) == (6, 4, 1)
+        # every source pixel replicated 2x2
+        assert px[0, 0, 0] == 0 and px[3, 5, 0] == 5
+
+    def test_non_png_raise_and_null_modes(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.operators.multimodal import resize_images
+
+        bad = spark.createDataFrame(
+            [("x", bytearray(b"RIFFxxxxWAVE"))], "media_id string, payload binary")
+        with _pytest.raises(Exception, match="codec-library|NotImplemented"):
+            resize_images(bad, 4, 4).collect()
+        rows = resize_images(bad, 4, 4, on_error="null").collect()
+        assert rows[0]["payload"] is None and rows[0]["src_width"] is None
