@@ -40,6 +40,26 @@ def stream_transcripts(
     return reader.parquet(path)
 
 
+def dedupe_deliveries(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Redelivery guard at the stream level — the Pub/Sub
+    at-least-once analogue (reference redelivers a whole object on
+    nack, pkg/controller/server/server.go; here individual rows can
+    also repeat): drop rows whose business key was already seen within
+    the event-time watermark. dropDuplicatesWithinWatermark keeps the
+    dedup STATE BOUNDED — keys older than the watermark are GC'd, so
+    state size follows the watermark window, not stream lifetime
+    (plain dropDuplicates on a stream grows state forever). Duplicates
+    arriving later than the watermark are the manifest gate's job
+    (batch-level exactly-once), not this operator's."""
+    return stream.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(list(keys))
+
+
 def hourly_counts_stream(
     stream: DataFrame, pipe: IngestPipeline, watermark: str = "2 hours"
 ) -> DataFrame:

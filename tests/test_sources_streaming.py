@@ -236,3 +236,33 @@ class TestLightEpochs:
         # the pin is an upper bound (measured: 5 light vs 11 full).
         assert light <= 5, f"light epoch ran {light} jobs"
         assert full > light, f"full={full} light={light}"
+
+
+class TestDedupeDeliveries:
+    def test_redelivered_rows_land_once(self, spark, stream_setup, tmp_path):
+        """Every source row delivered TWICE (full redelivery) → sink
+        counts equal the unique batch; dedup state is watermark-bounded
+        rather than unbounded dropDuplicates."""
+        from swarm_spark.streaming.ingest import (
+            dedupe_deliveries,
+            start_ingest_stream,
+            stream_transcripts,
+        )
+
+        src, pipe, t = stream_setup
+        dup_src = str(tmp_path / "dup_src")
+        t.write.parquet(dup_src)
+        t.write.mode("append").parquet(dup_src)  # redeliver everything
+
+        stream = dedupe_deliveries(
+            stream_transcripts(spark, dup_src, max_files_per_trigger=100))
+        q = start_ingest_stream(stream, pipe, str(tmp_path / "ckpt_d"),
+                                epoch_mode="light")
+        q.awaitTermination(120)
+
+        pipe.config.assume_ordered = True
+        exp = {r["sink_table"]: r["count"]
+               for r in pipe.routed(t, ingest_id="x")
+               .groupBy("sink_table").count().collect()}
+        got = {s: pipe.catalog.table(s).read(spark).count() for s in exp}
+        assert got == exp
