@@ -266,3 +266,55 @@ class TestDedupeDeliveries:
                .groupBy("sink_table").count().collect()}
         got = {s: pipe.catalog.table(s).read(spark).count() for s in exp}
         assert got == exp
+
+
+class TestStreamingSessionWindows:
+    def test_session_window_stream_matches_batch_lag_cumsum(self, spark, tmp_path):
+        """Native streaming session_window (gap-based, watermarked)
+        produces the SAME sessions as the batch lag+cumsum
+        construction (q_sessionize's shape) over identical events."""
+        from pyspark.sql import Window
+
+        rows = []
+        # u1: two sessions (gap > 30 min between event 2 and 3)
+        rows += [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+                 (1, "2024-01-01 11:00:01"), (1, "2024-01-01 11:05:00")]
+        # u2: one long session chained by sub-gap steps
+        rows += [(2, "2024-01-01 09:00:00"), (2, "2024-01-01 09:25:00"),
+                 (2, "2024-01-01 09:50:00")]
+        src = str(tmp_path / "ev")
+        ev = spark.createDataFrame(rows, "user_id bigint, ts_s string") \
+            .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        ev.write.parquet(src)
+
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
+        )
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName("sess_out").trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        q.awaitTermination(120)
+        got = {(r["user_id"], str(r["sess_start"])): r["n_events"]
+               for r in spark.sql("SELECT * FROM sess_out").collect()}
+
+        # batch lag+cumsum reference (strict > gap matches session_window's
+        # "new session when distance >= gap" at the 30-min boundary? —
+        # session_window closes when the NEXT event starts at or after
+        # end = last_ts + gap, i.e. diff >= 1800 starts a new session)
+        w = Window.partitionBy("user_id").orderBy("ts")
+        secs = F.unix_seconds(F.col("ts"))
+        gap = F.when(secs - F.lag(secs).over(w) >= 1800, 1).otherwise(0)
+        sess = ev.withColumn("g", gap).withColumn(
+            "idx", F.sum("g").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        ref = sess.groupBy("user_id", "idx").agg(
+            F.min("ts").alias("sess_start"), F.count(F.lit(1)).alias("n_events"))
+        want = {(r["user_id"], str(r["sess_start"])): r["n_events"]
+                for r in ref.collect()}
+        assert got == want
+        assert got[(1, "2024-01-01 10:00:00")] == 2
+        assert got[(1, "2024-01-01 11:00:01")] == 2
+        assert got[(2, "2024-01-01 09:00:00")] == 3
