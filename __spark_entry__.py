@@ -904,6 +904,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile (exact subset): per-column row counts, null
+    counts, native-type min/max rendered as strings — ONE scan, one
+    single-row aggregate reshaped long. The HLL distinct estimate is
+    tolerance-tested in pytest, not hash-compared."""
+    from swarm_spark.operators.analytics import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(docs).select(
+        "column", "n", "n_null", "min_s", "max_s").orderBy("column")
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→signup→purchase per user: one
     entity-keyed aggregation; pure-integer conversion counts."""
@@ -1014,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cohorts": q_cohorts,
     "incremental_dedup": q_incremental_dedup,
+    "profile": q_profile,
     "span_dedup": q_span_dedup,
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
@@ -1669,6 +1682,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN xn AND yn THEN 'new_new' ELSE 'new_old' END AS kind,
                    (1000000 * inter) // (na + nb - inter) AS j_q
             FROM f
+        """,
+        "profile": """
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s
+              FROM documents
+              UNION ALL
+              SELECT 'text', CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     min(text), max(text) FROM documents
+              UNION ALL
+              SELECT 'lang', CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     min(lang), max(lang) FROM documents
+              UNION ALL
+              SELECT 'source', CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     min(source), max(source) FROM documents
+              UNION ALL
+              SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+              FROM documents
+            ) ORDER BY "column"
         """,
         "funnel": """
             WITH per_user AS (

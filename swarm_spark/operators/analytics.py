@@ -95,3 +95,45 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_entities"))
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  approx_rsd: float = 0.05) -> DataFrame:
+    """Dataset profile: one row per column with exact counts/extremes
+    and sketch-based distinct estimates —
+
+        (column, dtype, n, n_null, approx_distinct, min_s, max_s)
+
+    Everything rides ONE aggregation (a single-row agg of composed
+    expressions, reshaped to long format driver-free via explode), so
+    profiling a 100 TB table costs one scan with map-side-combinable
+    partial aggregates; approx_count_distinct is an HLL++ sketch that
+    merges associatively across partitions. min/max are computed in
+    the column's NATIVE type (numeric order for numbers) and cast to
+    string only for display. n/n_null/min/max are exact (oracle-able);
+    the distinct estimate carries the rsd tolerance."""
+    cols = columns or [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.approx_count_distinct(c, rsd=approx_rsd).alias(f"__ad_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(types[c]).alias("dtype"),
+            F.col(f"__n_{c}").alias("n"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__ad_{c}").alias("approx_distinct"),
+            F.col(f"__mn_{c}").alias("min_s"),
+            F.col(f"__mx_{c}").alias("max_s"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(rows).alias("_r")).select("_r.*")

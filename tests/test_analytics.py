@@ -74,3 +74,35 @@ class TestCohortRetention:
         out = {r["period_offset"]: r["n_entities"]
                for r in cohort_retention(_ev(spark, rows), period="day").collect()}
         assert out == {0: 1, 2: 1}
+
+
+class TestProfileTable:
+    def test_exact_fields_and_null_counts(self, spark):
+        from swarm_spark.operators.analytics import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, None, 5.5), (3, "c", -1.0), (4, "a", None)],
+            "id bigint, s string, v double")
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        assert prof["id"]["n"] == 4 and prof["id"]["n_null"] == 0
+        assert prof["s"]["n_null"] == 1
+        assert prof["v"]["n_null"] == 2
+        # native-type ordering: -1.0 < 5.5 numerically
+        assert prof["v"]["min_s"] == "-1.0" and prof["v"]["max_s"] == "5.5"
+        assert prof["id"]["min_s"] == "1" and prof["id"]["max_s"] == "4"
+        assert prof["s"]["dtype"] == "string"
+
+    def test_approx_distinct_within_tolerance(self, spark):
+        from swarm_spark.operators.analytics import profile_table
+
+        df = spark.range(10000).selectExpr("id", "id % 137 AS m")
+        prof = {r["column"]: r for r in profile_table(df, approx_rsd=0.02).collect()}
+        assert abs(prof["m"]["approx_distinct"] - 137) <= 137 * 0.1
+        assert abs(prof["id"]["approx_distinct"] - 10000) <= 10000 * 0.1
+
+    def test_single_scan_plan(self, spark):
+        from swarm_spark.operators.analytics import profile_table
+
+        df = spark.range(100).selectExpr("id", "id % 7 AS m")
+        plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Range (0, 100") == 1  # one scan feeds every stat
