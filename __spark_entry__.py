@@ -1016,7 +1016,40 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style file skipping end to end (filestats.py): events
+    land in an icepack table as four event_id-quartile appends (each
+    data file then carries tight footer bounds), the table is read
+    back with prune=[(event_id BETWEEN mid-half)] — provably-excluded
+    files never enter the scan (pytest asserts 2 of 4 dirs skipped;
+    here the oracle proves read(prune) ≡ plain SQL filter). Aggregates
+    are order-free (counts + integer sums + min/max) so the comparison
+    is exact."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo = mn + (mx - mn + 1) // 4
+    hi = mn + 3 * ((mx - mn + 1) // 4)
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="fileskip_wh_")).table("events")
+    bounds = [mn, lo, mn + 2 * ((mx - mn + 1) // 4), hi, mx + 1]
+    for a, b in zip(bounds, bounds[1:]):
+        t.append(ev.filter((F.col("event_id") >= a) & (F.col("event_id") < b)))
+    pruned = t.read(spark, prune=[("event_id", ">=", lo), ("event_id", "<", hi)])
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "file_skip": q_file_skip,
     "quality_model": q_quality_model,
     "mixture": q_mixture,
     "boilerplate": q_boilerplate,
@@ -1533,6 +1566,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f.frame_idx AS INT) AS frame_idx
             FROM m, (SELECT unnest(range(0, 3)) AS frame_idx) f
             WHERE m.kind = 'video' OR f.frame_idx = 0
+        """,
+        "file_skip": """
+            WITH b AS (
+              SELECT min(event_id) AS mn,
+                     (max(event_id) - min(event_id) + 1) // 4 AS q
+              FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   min(user_id) AS min_user, max(user_id) AS max_user,
+                   min(ts) AS min_ts, max(ts) AS max_ts
+            FROM events, b
+            WHERE event_id >= b.mn + b.q AND event_id < b.mn + 3 * b.q
+            GROUP BY event_type
         """,
         "lineage": f"""
             WITH {_ROUTED.lstrip()}

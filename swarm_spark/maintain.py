@@ -40,7 +40,8 @@ def live_file_count(table) -> int:
 
 def maintain(spark, warehouse: str, tables: list[str] | None = None,
              compact_above_files: int = 0, target_files: int | None = None,
-             expire_keep: int = 0, refresh_daily_rollup: bool = False) -> dict:
+             expire_keep: int = 0, refresh_daily_rollup: bool = False,
+             cluster_by: list[str] | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from swarm_spark.incremental import refresh_agg
@@ -56,7 +57,10 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
         entry: dict = {"files_before": live_file_count(t)}
         if compact_above_files and entry["files_before"] > compact_above_files:
             try:
-                t.compact(spark, target_files=target_files)
+                cb = [c for c in (cluster_by or [])
+                      if c in {f.name for f in t.schema().fields}]
+                t.compact(spark, target_files=target_files,
+                          cluster_by=cb or None)
                 entry["compacted"] = True
                 entry["files_after"] = live_file_count(t)
             except CommitConflict:
@@ -85,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="expire snapshots older than the newest K; vacuum dirs")
     ap.add_argument("--refresh-daily-rollup", action="store_true")
+    ap.add_argument("--cluster-by", nargs="*", default=None,
+                    help="sort-cluster compaction rewrites on these columns "
+                         "(columns absent from a table are skipped for it) — "
+                         "tightens per-file bounds so read(prune=...) skips files")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -97,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         target_files=args.target_files,
         expire_keep=args.expire_keep,
         refresh_daily_rollup=args.refresh_daily_rollup,
+        cluster_by=args.cluster_by,
     )
     print(json.dumps(report))
     return 0

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic oracle comparison: UTC everywhere.
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP_MICROS, not Spark's legacy INT96: Iceberg forbids
+        # INT96, every modern reader takes INT64 micros, and INT96
+        # columns carry NO parquet min/max statistics — which would
+        # blind filestats.py's file skipping on every timestamp.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Broadcast threshold: rules/dimension tables are tiny; keep the
         # default 10MB but make it explicit — the routing join must
         # NEVER shuffle the fact side.

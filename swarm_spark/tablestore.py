@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from swarm_spark import filestats
+
 _PART_FMT = {
     "hour": "yyyy-MM-dd-HH",
     "day": "yyyy-MM-dd",
@@ -353,7 +355,9 @@ class IcepackTable:
                 shutil.rmtree(d, ignore_errors=True)
         return True
 
-    def _write_data(self, df: DataFrame, partition_unit: str, ts_col: str) -> tuple[str, int]:
+    def _write_data(self, df: DataFrame, partition_unit: str, ts_col: str,
+                    cluster_by: list[str] | None = None,
+                    target_files: int | None = None) -> tuple[str, int]:
         # `_s=<uuid>` — the snapshot dir is ITSELF a hive partition
         # level, so every data dir of a table shares one uniform
         # key=value layout under data/ and read() can load ALL dirs as
@@ -373,7 +377,26 @@ class IcepackTable:
             # partitions (a single huge hour) are bounded per-file by
             # maxRecordsPerFile downstream if needed.
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-            df = df.repartition(n, F.col("_p"))
+            if cluster_by:
+                # range-partition on (_p, cluster cols): each task owns
+                # a CONTIGUOUS (_p, cluster) slice, so a hive partition
+                # bigger than one task splits into cluster-range file
+                # slices — hash-on-_p would give ONE file per partition
+                # whose cluster bounds span the whole range (useless
+                # for skipping). Sort makes each file's footer bounds
+                # tight. File creation stays parallel across tasks.
+                cols = [F.col("_p")] + [F.col(c) for c in cluster_by]
+                df = df.repartitionByRange(target_files or n, *cols)
+                df = df.sortWithinPartitions("_p", *cluster_by)
+            else:
+                df = df.repartition(n, F.col("_p"))
+        elif cluster_by:
+            # unpartitioned table: range-partition + sort so output
+            # files cover near-disjoint cluster-column ranges
+            cols = [F.col(c) for c in cluster_by]
+            df = (df.repartitionByRange(target_files, *cols) if target_files
+                  else df.repartitionByRange(*cols))
+            df = df.sortWithinPartitions(*cols)
         # row count rides the write action itself — one pass, no extra
         # scan (≙ swarm's append-count verify, pkg/infra/bq/client.go:240-248)
         obs = Observation(f"rows-{uuid.uuid4().hex[:8]}")
@@ -382,7 +405,13 @@ class IcepackTable:
         if partition_unit:
             writer = writer.partitionBy("_p")
         writer.parquet(ddir)
-        return ddir, int(obs.get["n"])
+        n = int(obs.get["n"])
+        if n:
+            # per-file column bounds sidecar (Iceberg manifest metrics
+            # analogue) — footers only, driver-side, best-effort; read
+            # prune= uses it to skip files before the scan is planned
+            filestats.collect_dir_stats(ddir)
+        return ddir, n
 
     def _append_snapshot(self, ddir: str | None, n: int,
                          incoming_schema: T.StructType,
@@ -458,6 +487,7 @@ class IcepackTable:
                 except OSError:
                     shutil.move(ddir, dst)
                 ddir = dst
+            filestats.collect_dir_stats(ddir)
         return self._append_snapshot(ddir, added_rows, schema, partition_unit, ts_col)
 
     def overwrite(self, df: DataFrame, partition_unit: str = "",
@@ -561,7 +591,8 @@ class IcepackTable:
         )
 
     def compact(self, spark: SparkSession, target_files: int | None = None,
-                max_retries: int = 10) -> dict:
+                max_retries: int = 10,
+                cluster_by: list[str] | None = None) -> dict:
         """Small-file compaction (the rewrite_data_files maintenance
         op): rewrite CURRENT contents into a single fresh data dir
         with a bounded file count, preserving schema + partitioning.
@@ -569,7 +600,14 @@ class IcepackTable:
         pre-compaction snapshots still works. If an append commits
         while the rewrite is in flight, the commit aborts
         (CommitConflict) and the whole rewrite re-runs from the new
-        CURRENT — compaction must never drop concurrent rows."""
+        CURRENT — compaction must never drop concurrent rows.
+
+        cluster_by=[cols] range-partitions AND sorts the rewrite on
+        those columns (Iceberg rewrite_data_files sort strategy):
+        each output file then covers a tight, near-disjoint value
+        range, which is what makes read(prune=...) file skipping
+        effective on non-time columns. Appends interleave values
+        again — re-cluster on a maintenance cadence."""
         import shutil
 
         for _ in range(max_retries):
@@ -577,9 +615,12 @@ class IcepackTable:
             if snap is None:
                 raise FileNotFoundError(f"table {self.name} has no snapshots")
             df = self.read(spark)
-            if target_files:
+            if target_files and not cluster_by and not snap.get("partition_unit"):
                 df = df.coalesce(target_files)
-            ddir, n = self._write_data(df, snap.get("partition_unit", ""), snap.get("ts_col", "timestamp"))
+            ddir, n = self._write_data(
+                df, snap.get("partition_unit", ""), snap.get("ts_col", "timestamp"),
+                cluster_by=cluster_by, target_files=target_files,
+            )
             new = {
                 "parent": snap["snapshot_id"],
                 "op": "compact",
@@ -723,15 +764,38 @@ class IcepackTable:
         ]
         return df.select(*cols)
 
+    def prune_report(self, predicates: list[tuple],
+                     snapshot_id: int | None = None) -> dict:
+        """Dry-run of file skipping for a conjunctive predicate:
+        {files_total, files_kept, dirs_without_stats} — observability
+        for tests/bench without building a DataFrame."""
+        snap = (self.snapshot(snapshot_id) if snapshot_id is not None
+                else self.current_snapshot())
+        if snap is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        paths, total, kept = filestats.prune_files(snap["data_dirs"], predicates)
+        no_stats = sum(1 for p in paths if os.path.isdir(p))
+        return {"files_total": total, "files_kept": kept,
+                "dirs_without_stats": no_stats}
+
     def read(
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
         ts_between: tuple[str, str] | None = None,
+        prune: list[tuple] | None = None,
     ) -> DataFrame:
         """Read the table at CURRENT (or time-travel to snapshot_id).
         ts_between=(lo_iso, hi_iso) prunes hive partitions before the
-        scan when the table has a time partition transform."""
+        scan when the table has a time partition transform.
+
+        prune=[(col, op, value), ...] (ops: = < <= > >= in
+        isnull notnull; conjunctive) returns EXACTLY
+        read().filter(<conjuncts>) but skips data files whose
+        footer-derived column bounds prove they cannot match (Iceberg
+        manifest-stats file skipping — see swarm_spark/filestats.py).
+        Timestamp literals: datetime (naive = UTC) or ISO string.
+        Files from dirs without a stats sidecar are always scanned."""
         if snapshot_id is not None:
             with open(self._snap_path(snapshot_id)) as fh:
                 snap = json.load(fh)
@@ -741,8 +805,15 @@ class IcepackTable:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         if not snap["data_dirs"]:  # empty-append-only table
-            return spark.createDataFrame([], schema)
-        df = self._scan_dirs(spark, snap["data_dirs"])
+            df = spark.createDataFrame([], schema)
+            return filestats.residual_filter(df, prune) if prune else df
+        scan = snap["data_dirs"]
+        if prune:
+            scan, _total, _kept = filestats.prune_files(scan, prune)
+            if not scan:  # every file provably excluded
+                df = spark.createDataFrame([], schema)
+                return filestats.residual_filter(df, prune)
+        df = self._scan_dirs(spark, scan)
         unit = snap.get("partition_unit")
         if unit and ts_between:
             fmt_py = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d",
@@ -760,7 +831,11 @@ class IcepackTable:
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields
         ]
-        return df.select(*cols)
+        out = df.select(*cols)
+        # residual filter: skipping is a scan optimization, the
+        # predicate still applies row-by-row (files that survive on
+        # bounds may hold non-matching rows)
+        return filestats.residual_filter(out, prune) if prune else out
 
 
 class IcepackCatalog:

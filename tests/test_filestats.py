@@ -1,0 +1,264 @@
+"""File-level column statistics + scan-time file skipping (filestats.py).
+
+The contract under test: read(prune=P) returns EXACTLY the same rows
+as read().filter(P) — file skipping is invisible to semantics — while
+provably-non-matching files are dropped from the scan (checked via
+prune_report and df.inputFiles()). Soundness edge cases: all-null
+files, NaN vs float upper bounds, >64-char string maxima, legacy dirs
+without a sidecar, schema evolution across dirs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.filestats import (
+    STATS_NAME,
+    collect_dir_stats,
+    load_dir_stats,
+    prune_files,
+)
+from swarm_spark.tablestore import IcepackCatalog
+
+UTC = dt.timezone.utc
+
+
+def _mk_table(spark, tmp_path, name="t"):
+    return IcepackCatalog(str(tmp_path / "wh")).table(name)
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def chunked_table(spark, tmp_path):
+    """Four appends with disjoint id ranges and month-disjoint
+    timestamps — each data dir's files carry tight, separated
+    bounds, so pruning decisions are predictable."""
+    t = _mk_table(spark, tmp_path)
+    for chunk in range(4):
+        df = spark.range(chunk * 100, chunk * 100 + 100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit(f"u{chunk}_"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("s"),
+            (F.col("id") * 1.5).alias("x"),
+            F.to_timestamp(F.lit(f"2024-0{chunk + 1}-15 12:00:00")).alias("ts"),
+        )
+        t.append(df.coalesce(1))
+    return t
+
+
+def test_sidecar_written_and_typed(chunked_table):
+    snap = chunked_table.current_snapshot()
+    for d in snap["data_dirs"]:
+        stats = load_dir_stats(d)
+        assert stats and stats["version"] == 1 and stats["files"]
+        for fstats in stats["files"].values():
+            cols = fstats["cols"]
+            assert cols["k"][3] == "i64" and cols["k"][0] <= cols["k"][1]
+            assert cols["s"][3] == "str"
+            assert cols["x"][3] == "f64"
+            assert cols["ts"][3] == "ts" and isinstance(cols["ts"][0], int)
+            assert fstats["rows"] == 100
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        ("k", "=", 150),
+        ("k", "<", 42),
+        ("k", "<=", 100),
+        ("k", ">", 350),
+        ("k", ">=", 399),
+        ("k", "in", [5, 205, 999]),
+        ("s", "=", "u2_0210"),
+        ("s", ">=", "u3_"),
+        ("ts", "<", dt.datetime(2024, 2, 1)),
+        ("ts", ">=", "2024-03-01T00:00:00"),
+        ("x", "=", 150.0),
+        ("x", "<=", 30.0),
+        ("x", ">", 400.0),
+        ("k", "notnull", None),
+    ],
+)
+def test_prune_equals_filter(chunked_table, spark, pred):
+    """read(prune) ≡ read().filter for every op, and at least the
+    out-of-range predicates actually skip files."""
+    from swarm_spark.filestats import residual_filter
+
+    pruned = chunked_table.read(spark, prune=[pred])
+    expected = residual_filter(chunked_table.read(spark), [pred])
+    assert _rows_set(pruned) == _rows_set(expected)
+    assert expected.count() > 0  # the matrix never tests a vacuous predicate
+
+
+def test_skipping_actually_skips(chunked_table, spark):
+    rep = chunked_table.prune_report([("k", "=", 150)])
+    assert rep["files_total"] == 4 and rep["files_kept"] == 1
+    assert rep["dirs_without_stats"] == 0
+    files = chunked_table.read(spark, prune=[("k", "=", 150)]).inputFiles()
+    assert len(files) == 1
+    # conjunction: contradictory ranges → zero files, empty result,
+    # schema intact
+    df = chunked_table.read(spark, prune=[("k", "<", 50), ("k", ">", 350)])
+    assert df.count() == 0 and df.columns == ["k", "s", "x", "ts"]
+
+
+def test_float_nan_rule(spark, tmp_path):
+    """A file containing NaN must NOT be skipped for > / >= even
+    though its stats max (NaN-free) says it could be — Spark orders
+    NaN above every value."""
+    t = _mk_table(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan"))], "k int, x double"
+    )
+    t.append(df.coalesce(1))
+    got = t.read(spark, prune=[("x", ">", 100.0)]).collect()
+    assert len(got) == 1 and math.isnan(got[0]["x"])
+    # the safe ops still prune: = and < exclude NaN semantically
+    assert t.prune_report([("x", "=", 100.0)])["files_kept"] == 0
+    assert t.prune_report([("x", "<", 0.5)])["files_kept"] == 0
+
+
+def test_all_null_file_skipped_for_comparisons(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.append(
+        spark.createDataFrame([(1, None), (2, None)], "k int, v string").coalesce(1)
+    )
+    t.append(spark.createDataFrame([(3, "a"), (4, "b")], "k int, v string").coalesce(1))
+    assert t.prune_report([("v", "=", "a")])["files_kept"] == 1
+    assert t.prune_report([("v", "isnull", None)])["files_kept"] >= 1
+    assert _rows_set(t.read(spark, prune=[("v", "isnull", None)])) == {
+        (1, None),
+        (2, None),
+    }
+    assert _rows_set(t.read(spark, prune=[("v", "=", "a")])) == {(3, "a")}
+
+
+def test_long_string_max_unbounded(spark, tmp_path):
+    """>64-char string maxima: stored max must become None (truncation
+    would be an invalid upper bound) and upper-side pruning must not
+    fire; lower-side pruning still works off the truncated min."""
+    t = _mk_table(spark, tmp_path)
+    big = "z" * 200
+    t.append(spark.createDataFrame([("m" * 100, 1), (big, 2)], "s string, k int").coalesce(1))
+    d = t.current_snapshot()["data_dirs"][0]
+    entry = load_dir_stats(d)["files"]
+    (fstats,) = entry.values()
+    mn, mx, _nulls, tag = fstats["cols"]["s"]
+    assert tag == "str" and mx is None and mn == "m" * 64
+    # cannot prune above (max unknown) …
+    assert t.prune_report([("s", ">", "zzzz")])["files_kept"] == 1
+    # … but can prune below the truncated min
+    assert t.prune_report([("s", "<", "a")])["files_kept"] == 0
+    assert _rows_set(t.read(spark, prune=[("s", ">=", "z")])) == {(big, 2)}
+
+
+def test_legacy_dir_without_sidecar_scans_everything(chunked_table, spark):
+    snap = chunked_table.current_snapshot()
+    victim = snap["data_dirs"][0]
+    os.remove(os.path.join(victim, STATS_NAME))
+    rep = chunked_table.prune_report([("k", "=", 150)])
+    assert rep["dirs_without_stats"] == 1 and rep["files_total"] == 3
+    got = chunked_table.read(spark, prune=[("k", "=", 150)])
+    assert got.count() == 1  # correctness unaffected
+
+
+def test_corrupt_sidecar_is_ignored(chunked_table, spark):
+    snap = chunked_table.current_snapshot()
+    victim = snap["data_dirs"][1]
+    with open(os.path.join(victim, STATS_NAME), "w") as fh:
+        fh.write("{not json")
+    got = chunked_table.read(spark, prune=[("k", ">=", 0)])
+    assert got.count() == 400
+
+
+def test_prune_with_schema_evolution(spark, tmp_path):
+    """A column added by evolution is absent from older dirs' stats —
+    those files must stay in the scan (maybe) and read as null."""
+    t = _mk_table(spark, tmp_path)
+    t.append(spark.createDataFrame([(1,)], "k int").coalesce(1))
+    t.append(spark.createDataFrame([(2, "new")], "k int, extra string").coalesce(1))
+    got = _rows_set(t.read(spark, prune=[("extra", "=", "new")]))
+    assert got == {(2, "new")}
+    # the old dir's file was scanned (no stats for 'extra'), the
+    # residual filter dropped its row
+    assert t.prune_report([("extra", "=", "new")])["files_kept"] == 2
+
+
+def test_cluster_by_compact_tightens_bounds(spark, tmp_path):
+    """Interleaved appends → every file spans the whole key range
+    (pruning useless); compact(cluster_by) → point lookups touch ONE
+    file."""
+    t = _mk_table(spark, tmp_path)
+    for start in range(2):  # two appends, each covering the full range
+        df = spark.range(start, 1000, 2).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
+        )
+        t.append(df.repartition(4))
+    before = t.prune_report([("k", "=", 777)])
+    assert before["files_kept"] == before["files_total"] == 8  # useless
+    t.compact(spark, target_files=8, cluster_by=["k"])
+    after = t.prune_report([("k", "=", 777)])
+    assert after["files_total"] >= 4 and after["files_kept"] == 1
+    got = t.read(spark, prune=[("k", "=", 777)])
+    assert got.count() == 1 and len(got.inputFiles()) == 1
+    # range scan: only the overlapping files
+    rng = t.prune_report([("k", ">=", 900), ("k", "<", 950)])
+    assert rng["files_kept"] <= 2
+    assert t.read(spark, prune=[("k", ">=", 900), ("k", "<", 950)]).count() == 50
+
+
+def test_cluster_by_composes_with_time_partitioning(spark, tmp_path):
+    """Partitioned table: cluster_by sorts within each write task so
+    every hive partition's files carry tight cluster-column bounds;
+    prune combines with ts_between partition pruning."""
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string"), F.lit(" 00:00:00"))
+        ).alias("ts"),
+    )
+    t.append(df, partition_unit="day", ts_col="ts")
+    t.compact(spark, cluster_by=["k"])
+    rep = t.prune_report([("k", "=", 1500)])
+    assert rep["files_kept"] < rep["files_total"]
+    got = t.read(
+        spark,
+        ts_between=("2024-01-01T00:00:00", "2024-01-03T23:59:59"),
+        prune=[("k", "=", 1500)],
+    )
+    assert got.count() == 1
+
+
+def test_adopt_dir_collects_stats(spark, tmp_path):
+    staging = str(tmp_path / "staged")
+    spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k int, v string").coalesce(
+        1
+    ).write.parquet(staging)
+    t = _mk_table(spark, tmp_path)
+    schema = spark.read.parquet(staging).schema
+    t.adopt_dir(staging, 50, schema)
+    d = t.current_snapshot()["data_dirs"][0]
+    assert load_dir_stats(d) is not None
+    assert t.prune_report([("k", "=", 9999)])["files_kept"] == 0
+
+
+def test_prune_files_rejects_bad_ops(chunked_table):
+    with pytest.raises(ValueError, match="bad predicate"):
+        prune_files(chunked_table.current_snapshot()["data_dirs"], [("k", "!=", 1)])
+
+
+def test_collect_is_idempotent_and_atomic(chunked_table):
+    d = chunked_table.current_snapshot()["data_dirs"][0]
+    before = json.dumps(load_dir_stats(d), sort_keys=True)
+    collect_dir_stats(d)  # second call: no-op (sidecar exists)
+    assert json.dumps(load_dir_stats(d), sort_keys=True) == before
+    assert not any(f.endswith(".tmp") for f in os.listdir(d))

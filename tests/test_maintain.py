@@ -63,3 +63,25 @@ class TestMaintain:
         daily = cat.table("_agg_daily")
         rows = daily.read(spark).collect()
         assert len(rows) == 1 and rows[0]["turns"] == 4
+
+    def test_cluster_by_compaction_enables_file_skipping(self, spark, tmp_path):
+        """--cluster-by flows through maintain to compact(); tables
+        missing the column are compacted unclustered, not failed."""
+        from pyspark.sql import functions as F
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("t")
+        for start in range(3):  # interleaved appends: bounds useless
+            t.append(spark.range(start, 300, 3).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")).repartition(2))
+        other = cat.table("other")  # no 'k' column
+        other.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+        other.append(spark.createDataFrame([("c",)], "name string"))
+        rep = maintain(spark, str(tmp_path), compact_above_files=1,
+                       target_files=3, cluster_by=["k"])
+        assert rep["tables"]["t"]["compacted"]
+        assert rep["tables"]["other"]["compacted"]
+        point = t.prune_report([("k", "=", 123)])
+        assert point["files_kept"] == 1 and point["files_total"] >= 3
+        assert t.read(spark, prune=[("k", "=", 123)]).count() == 1
+        assert other.read(spark).count() == 3
