@@ -1016,6 +1016,35 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BM25_QUERIES = [
+    ("q_hashjoin", ["hash", "join"]),
+    ("q_windowed", ["window", "agg", "scan"]),
+    ("q_vector", ["vector"]),
+]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over documents (engine-exact rational-idf
+    scoring, integer micro-unit totals — operators/retrieval.py). The
+    oracle recomputes the identical IEEE expression tree in DuckDB, so
+    the top-k SET and the scores hash-match exactly."""
+    from swarm_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_QUERIES, k=10)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq ≥ 2% of the token stream) via
+    per-partition Misra–Gries candidates + broadcast exact verify —
+    the shuffle moves candidate tokens only, never the stream. The
+    oracle is the plain HAVING-count SQL the operator must equal."""
+    from swarm_spark.operators.retrieval import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, phi_ppm=20_000)
+
+
 def q_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style file skipping end to end (filestats.py): events
     land in an icepack table as four event_id-quartile appends (each
@@ -1050,6 +1079,8 @@ def q_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_skip": q_file_skip,
+    "bm25": q_bm25,
+    "heavy_hitters": q_heavy_hitters,
     "quality_model": q_quality_model,
     "mixture": q_mixture,
     "boilerplate": q_boilerplate,
@@ -1566,6 +1597,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f.frame_idx AS INT) AS frame_idx
             FROM m, (SELECT unnest(range(0, 3)) AS frame_idx) f
             WHERE m.kind = 'video' OR f.frame_idx = 0
+        """,
+        "bm25": f"""
+            WITH dl AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+              FROM documents),
+            corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents),
+            qterms AS (SELECT * FROM (VALUES {", ".join(f"('{qid}','{t}')" for qid, ts in BM25_QUERIES for t in sorted(set(ts)))}) AS q(query_id, token)),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM toks
+              WHERE token <> '' AND token IN ({", ".join(f"'{t}'" for t in sorted({t for _, ts in BM25_QUERIES for t in ts}))})
+              GROUP BY 1, 2),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                CAST(floor(
+                  ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * 2.2
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                 / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                  * 1000000.0) AS BIGINT) AS term_micro
+              FROM tf
+              JOIN dfreq USING (token)
+              JOIN qterms q USING (token)
+              JOIN dl USING (doc_id), corpus),
+            per_doc AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(term_micro) AS BIGINT) AS score_micro,
+                     CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM scored GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       ORDER BY query_id, score_micro DESC, doc_id) AS _rn,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id) AS rank
+              FROM per_doc)
+            SELECT query_id, doc_id, score_micro, n_terms_hit,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+              FROM documents),
+            t AS (SELECT token FROM toks WHERE token <> ''),
+            tot AS (SELECT count(*) AS n FROM t)
+            SELECT token, CAST(count(*) AS BIGINT) AS count
+            FROM t, tot
+            GROUP BY token, n
+            HAVING count(*) * 1000000 >= 20000 * n
         """,
         "file_skip": """
             WITH b AS (

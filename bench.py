@@ -113,6 +113,20 @@ def main() -> None:
 
     pipe_ro = mkpipe(tempfile.mkdtemp(prefix="swarm_bench_wh_ro_"))
 
+    # file-skipping fixture (one-time, outside the timed region): the
+    # 1M generated transcripts in an icepack table, sort-clustered on
+    # conv_id so footer bounds are tight — then a point read with
+    # prune= vs the same predicate as a full-scan filter
+    from swarm_spark.filestats import residual_filter
+    from swarm_spark.tablestore import IcepackCatalog
+
+    fs_root = tempfile.mkdtemp(prefix="swarm_bench_fswh_")
+    fs_tbl = IcepackCatalog(fs_root).table("transcripts")
+    fs_tbl.append(gen_in)
+    fs_tbl.compact(spark, target_files=64, cluster_by=["conv_id"])
+    fs_cid = gen_in.select("conv_id").first()[0]
+    fs_pred = [("conv_id", "=", fs_cid)]
+
     import __spark_entry__ as e
 
     # ---- job table: name -> fn(round_idx) -> result ------------------
@@ -160,6 +174,10 @@ def main() -> None:
         # scoring and mixture resampling over the documents table
         "quality_model": lambda i: e.q_quality_model(spark, SF_DIR).count(),
         "mixture": lambda i: e.q_mixture(spark, SF_DIR).count(),
+        # Iceberg-style file skipping: same predicate, pruned scan vs
+        # full scan over the clustered 1M-row table
+        "point_read_pruned": lambda i: fs_tbl.read(spark, prune=fs_pred).count(),
+        "point_read_full": lambda i: residual_filter(fs_tbl.read(spark), fs_pred).count(),
     }
 
     times: dict[str, list[float]] = {name: [] for name in jobs}
@@ -192,9 +210,16 @@ def main() -> None:
         results["curation_pipeline"] / timings["curation_pipeline"], 1
     )
     extras["span_dedup_spans"] = int(results["span_dedup"])
+    fs_rep = fs_tbl.prune_report(fs_pred)
+    extras["point_read_files_kept"] = fs_rep["files_kept"]
+    extras["point_read_files_total"] = fs_rep["files_total"]
+    extras["point_read_speedup"] = round(
+        timings["point_read_full"] / timings["point_read_pruned"], 2
+    )
 
     shutil.rmtree(t_path, ignore_errors=True)
     shutil.rmtree(gen_path, ignore_errors=True)
+    shutil.rmtree(fs_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
