@@ -1016,6 +1016,37 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, d=0.85) over the
+    customer↔supplier trade graph: lineitem⋈orders yields weighted
+    (customer, supplier) edges (w = lineitems traded), symmetrized so
+    mass circulates. Every rank is bigint micro-units with floor
+    division, so the DuckDB oracle (same iterations unrolled as CTEs)
+    reproduces all ~1.6k node ranks bit-for-bit."""
+    from swarm_spark.operators.components import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            "w",
+        )
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return pagerank(edges, iterations=3, weight="w")
+
+
 BM25_QUERIES = [
     ("q_hashjoin", ["hash", "join"]),
     ("q_windowed", ["window", "agg", "scan"]),
@@ -1081,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_skip": q_file_skip,
     "bm25": q_bm25,
     "heavy_hitters": q_heavy_hitters,
+    "pagerank": q_pagerank,
     "quality_model": q_quality_model,
     "mixture": q_mixture,
     "boilerplate": q_boilerplate,
@@ -1381,6 +1413,44 @@ spans8 AS (
 """
 
 
+def _pagerank_oracle(iterations: int = 3, damping_ppm: int = 850_000) -> str:
+    """Unrolled PageRank iterations as CTEs — floor division (//) on
+    integers matches Spark's `div` for the all-positive quantities
+    involved, so ranks are bit-identical."""
+    base = 1_000_000 - damping_ppm
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+            r{i} AS (
+              SELECT n.node,
+                     CAST({base} + ({damping_ppm} * coalesce(c.csum, 0)) // 1000000
+                          AS BIGINT) AS rank_micro
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst, sum((r.rank_micro * e.w) // o.out_w) AS csum
+                FROM edges e
+                JOIN outw o USING (src)
+                JOIN r{i - 1} r ON r.node = e.src
+                GROUP BY e.dst) c ON c.dst = n.node)""")
+    return f"""
+        WITH pairs AS (
+          SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT src, dst, w FROM pairs
+          UNION ALL
+          SELECT dst AS src, src AS dst, w FROM pairs),
+        outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+        {",".join(iters)}
+        SELECT node, rank_micro FROM r{iterations}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "stratified_sample": """
@@ -1598,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m, (SELECT unnest(range(0, 3)) AS frame_idx) f
             WHERE m.kind = 'video' OR f.frame_idx = 0
         """,
+        "pagerank": _pagerank_oracle(),
         "bm25": f"""
             WITH dl AS (
               SELECT doc_id,

@@ -99,3 +99,76 @@ def dedup_clusters(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
     return joined.filter(F.col(id_col) == F.col("component")).drop("component")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over an edge list, ENGINE-EXACT: all
+    arithmetic is bigint micro-units with floor division, so the
+    ranks after any fixed iteration count are bit-identical across
+    engines, partitionings and retries — an unrolled DuckDB CTE
+    reproduces them exactly (oracle `pagerank`). Returns
+    (node, rank_micro) for every node that appears as src or dst.
+
+    rank⁰ = 1e6 per node; per iteration
+        contrib(e) = (rank(src)·w(e)) div out_w(src)
+        rank'(v)   = (1e6 − d) + (d · Σ contrib) div 1e6
+    with d = damping_ppm. Dangling-node mass is dropped (documented
+    semantic choice — redistribution would add an all-nodes broadcast
+    per round; ranks then sum to < N·1e6, which is fine for ranking).
+
+    Scale shape: out-weights are computed once and stay joined to the
+    static edge relation; each iteration is ONE shuffle (contribs
+    grouped by dst) plus a broadcast-friendly join of the (node, rank)
+    relation — the standard Pregel-on-DataFrames layout. Lineage is
+    cut per round with localCheckpoint (cf. connected_components), so
+    the plan stays flat for any iteration count. Overflow bound:
+    rank·w must stay under 2^63 — ranks are ≤ N·1e6 total mass, so
+    with bigint weights keep N·1e6·max_w < 9.2e18 (raise: split
+    weights or rescale)."""
+    if not (0 <= damping_ppm <= 1_000_000):
+        raise ValueError("damping_ppm must be in [0, 1e6]")
+    w = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").localCheckpoint()  # static: edges + degrees
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = F.lit(1_000_000 - damping_ppm).cast("bigint")
+    ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("rank_micro"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank_micro * w) div out_w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_ppm} * coalesce(csum, 0)) div 1000000"
+                    ).cast("bigint")
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
