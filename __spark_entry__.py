@@ -1016,6 +1016,18 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd's k-means (k=8, 2 assign→update rounds +
+    final assignment) over the 64-dim embeddings — quantized integer
+    distances, floor-mean centroid updates, lowest-id init/tiebreaks,
+    so the DuckDB oracle (same rounds unrolled as CTEs) reproduces
+    every assignment and distance bit-for-bit."""
+    from swarm_spark.operators.clustering import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, iterations=2)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (3 iterations, d=0.85) over the
     customer↔supplier trade graph: lineitem⋈orders yields weighted
@@ -1113,6 +1125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25": q_bm25,
     "heavy_hitters": q_heavy_hitters,
     "pagerank": q_pagerank,
+    "kmeans": q_kmeans,
     "quality_model": q_quality_model,
     "mixture": q_mixture,
     "boilerplate": q_boilerplate,
@@ -1413,6 +1426,62 @@ spans8 AS (
 """
 
 
+def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's rounds as DuckDB CTEs mirroring
+    operators/clustering.py: integer quantized distances (order-free
+    hugeint sums), floor(double-division) centroid means, lowest-id
+    tie-breaks. Empty clusters keep the previous centroid."""
+
+    def assign(r: int) -> str:
+        return f"""
+            d{r} AS (
+              SELECT v.vec_id, c.cid,
+                     sum((v.q[t.i] - c.q[t.i]) * (v.q[t.i] - c.q[t.i])) AS dist
+              FROM vecs v, c{r} c, range(1, {dim + 1}) t(i)
+              GROUP BY 1, 2),
+            a{r} AS (
+              SELECT vec_id, cid AS cluster, dist,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d{r})"""
+
+    def update(r: int) -> str:
+        return f"""
+            u{r + 1} AS (
+              SELECT a.cluster, t.i,
+                     CAST(floor(CAST(sum(v.q[t.i]) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+              FROM (SELECT vec_id, cluster FROM a{r} WHERE rn = 1) a
+              JOIN vecs v USING (vec_id), range(1, {dim + 1}) t(i)
+              GROUP BY 1, 2),
+            c{r + 1} AS (
+              SELECT cluster AS cid, list(c ORDER BY i) AS q
+              FROM u{r + 1} GROUP BY 1
+              UNION ALL
+              SELECT cid, q FROM c{r} WHERE cid NOT IN (
+                SELECT DISTINCT cluster FROM u{r + 1}))"""
+
+    rounds = []
+    for r in range(iterations):
+        rounds.append(assign(r))
+        rounds.append(update(r))
+    rounds.append(assign(iterations))
+    return f"""
+        WITH vecs AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+          FROM embeddings),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
+          FROM (SELECT vec_id, q FROM vecs ORDER BY vec_id LIMIT {k})),
+        {",".join(rounds)}
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(dist AS BIGINT) AS dist
+        FROM a{iterations} WHERE rn = 1
+    """
+
+
 def _pagerank_oracle(iterations: int = 3, damping_ppm: int = 850_000) -> str:
     """Unrolled PageRank iterations as CTEs — floor division (//) on
     integers matches Spark's `div` for the all-positive quantities
@@ -1669,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.kind = 'video' OR f.frame_idx = 0
         """,
         "pagerank": _pagerank_oracle(),
+        "kmeans": _kmeans_oracle(),
         "bm25": f"""
             WITH dl AS (
               SELECT doc_id,
