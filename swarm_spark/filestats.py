@@ -357,3 +357,56 @@ def residual_filter(df, predicates: list[tuple]):
         else:
             raise ValueError(f"unknown predicate op {op!r}")
     return df
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering (layout side)
+# ---------------------------------------------------------------------------
+
+
+def zorder_expression(df, cols: list[str], bits: int = 16):
+    """Morton/z-order sort key over 2+ numeric/timestamp columns (the
+    Iceberg/Delta OPTIMIZE ZORDER analogue): each column is linearly
+    scaled to a `bits`-wide integer against its GLOBAL min/max (one
+    scalar-agg job — maintenance path only), then the bit strings are
+    interleaved. Sorting the rewrite by this key gives every output
+    file a tight bounding box in ALL the z-ordered dimensions at once,
+    so read(prune=...) skips files on any single one of them —
+    single-column cluster_by can only serve its leading column.
+
+    Linear scaling (not quantile ranks) is deliberate: deterministic,
+    no sampling job, and footer-bound tightness degrades gracefully on
+    skew (the skewed region just gets more files). Returns a Column;
+    never persisted to the files."""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (use cluster_by for one)")
+    d = len(cols)
+    if bits * d > 62:
+        raise ValueError(f"bits={bits} x {d} columns overflows the bigint z-value")
+    aggs = []
+    for c in cols:
+        e = F.col(c).cast("double")
+        aggs += [F.min(e).alias(f"_lo_{c}"), F.max(e).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).first()
+    z = F.lit(0).cast("bigint")
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(f"z-order column {c} is entirely null")
+        span = (hi - lo) or 1.0
+        scaled = F.least(
+            F.lit(top).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) * F.lit(float(top)) / F.lit(span)
+                ).cast("bigint"),
+            ),
+        )
+        for b in range(bits):
+            bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1).cast("bigint"))
+            z = z + F.shiftleft(bit, b * d + i)
+    return z

@@ -214,6 +214,11 @@ def heavy_hitters(
         toks.filter(F.col("token").isin(candidates))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
-        .filter(F.col("count") * F.lit(1_000_000) >= F.lit(phi_ppm) * F.lit(total))
+        # bigint casts: int32 literal products overflow at corpus scale
+        # (count·1e6 and phi_ppm·n_total both pass 2^31 fast)
+        .filter(
+            F.col("count") * F.lit(1_000_000).cast("bigint")
+            >= F.lit(phi_ppm).cast("bigint") * F.lit(total).cast("bigint")
+        )
     )
     return exact.select("token", "count")

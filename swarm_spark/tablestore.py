@@ -357,7 +357,15 @@ class IcepackTable:
 
     def _write_data(self, df: DataFrame, partition_unit: str, ts_col: str,
                     cluster_by: list[str] | None = None,
-                    target_files: int | None = None) -> tuple[str, int]:
+                    target_files: int | None = None,
+                    zorder_by: list[str] | None = None) -> tuple[str, int]:
+        if zorder_by:
+            if cluster_by:
+                raise ValueError("pass cluster_by OR zorder_by, not both")
+            # z-order = cluster on the interleaved-bits expression:
+            # every file gets a tight bounding box in ALL the z-ordered
+            # dimensions, so read(prune=...) skips on any one of them
+            cluster_by = [filestats.zorder_expression(df, zorder_by)]
         # `_s=<uuid>` — the snapshot dir is ITSELF a hive partition
         # level, so every data dir of a table shares one uniform
         # key=value layout under data/ and read() can load ALL dirs as
@@ -385,18 +393,18 @@ class IcepackTable:
                 # whose cluster bounds span the whole range (useless
                 # for skipping). Sort makes each file's footer bounds
                 # tight. File creation stays parallel across tasks.
-                cols = [F.col("_p")] + [F.col(c) for c in cluster_by]
-                df = df.repartitionByRange(target_files or n, *cols)
-                df = df.sortWithinPartitions("_p", *cluster_by)
+                ccols = [c if not isinstance(c, str) else F.col(c) for c in cluster_by]
+                df = df.repartitionByRange(target_files or n, F.col("_p"), *ccols)
+                df = df.sortWithinPartitions(F.col("_p"), *ccols)
             else:
                 df = df.repartition(n, F.col("_p"))
         elif cluster_by:
             # unpartitioned table: range-partition + sort so output
             # files cover near-disjoint cluster-column ranges
-            cols = [F.col(c) for c in cluster_by]
-            df = (df.repartitionByRange(target_files, *cols) if target_files
-                  else df.repartitionByRange(*cols))
-            df = df.sortWithinPartitions(*cols)
+            ccols = [c if not isinstance(c, str) else F.col(c) for c in cluster_by]
+            df = (df.repartitionByRange(target_files, *ccols) if target_files
+                  else df.repartitionByRange(*ccols))
+            df = df.sortWithinPartitions(*ccols)
         # row count rides the write action itself — one pass, no extra
         # scan (≙ swarm's append-count verify, pkg/infra/bq/client.go:240-248)
         obs = Observation(f"rows-{uuid.uuid4().hex[:8]}")
@@ -592,7 +600,8 @@ class IcepackTable:
 
     def compact(self, spark: SparkSession, target_files: int | None = None,
                 max_retries: int = 10,
-                cluster_by: list[str] | None = None) -> dict:
+                cluster_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> dict:
         """Small-file compaction (the rewrite_data_files maintenance
         op): rewrite CURRENT contents into a single fresh data dir
         with a bounded file count, preserving schema + partitioning.
@@ -606,7 +615,11 @@ class IcepackTable:
         those columns (Iceberg rewrite_data_files sort strategy):
         each output file then covers a tight, near-disjoint value
         range, which is what makes read(prune=...) file skipping
-        effective on non-time columns. Appends interleave values
+        effective on non-time columns. zorder_by=[cols] sorts on the
+        interleaved-bits Morton key instead (OPTIMIZE ZORDER): files
+        get a tight bounding box in EVERY listed dimension, so prune
+        works on each column independently — use it when queries
+        filter on more than one column. Appends interleave values
         again — re-cluster on a maintenance cadence."""
         import shutil
 
@@ -615,11 +628,13 @@ class IcepackTable:
             if snap is None:
                 raise FileNotFoundError(f"table {self.name} has no snapshots")
             df = self.read(spark)
-            if target_files and not cluster_by and not snap.get("partition_unit"):
+            if target_files and not cluster_by and not zorder_by \
+                    and not snap.get("partition_unit"):
                 df = df.coalesce(target_files)
             ddir, n = self._write_data(
                 df, snap.get("partition_unit", ""), snap.get("ts_col", "timestamp"),
                 cluster_by=cluster_by, target_files=target_files,
+                zorder_by=zorder_by,
             )
             new = {
                 "parent": snap["snapshot_id"],

@@ -262,3 +262,80 @@ def test_collect_is_idempotent_and_atomic(chunked_table):
     collect_dir_stats(d)  # second call: no-op (sidecar exists)
     assert json.dumps(load_dir_stats(d), sort_keys=True) == before
     assert not any(f.endswith(".tmp") for f in os.listdir(d))
+
+
+class TestZOrder:
+    def _grid_table(self, spark, tmp_path, name):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        t = IcepackCatalog(str(tmp_path / "zwh")).table(name)
+        # 64x64 grid, row-major: naive order clusters x poorly
+        df = spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("bigint").alias("y"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        t.append(df.repartition(8))
+        return t
+
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        t = self._grid_table(spark, tmp_path, "z")
+        t.compact(spark, target_files=16, zorder_by=["x", "y"])
+        px = t.prune_report([("x", ">=", 0), ("x", "<", 8)])
+        py = t.prune_report([("y", ">=", 0), ("y", "<", 8)])
+        # 16 z-tiles over a 64x64 grid = 4x4 tiles; an 8-wide slab
+        # overlaps only the 4 tiles of one edge column/row
+        assert px["files_total"] == 16 and px["files_kept"] <= 6
+        assert py["files_kept"] <= 6
+        # correctness: pruned read == plain filter
+        got = t.read(spark, prune=[("x", ">=", 0), ("x", "<", 8)])
+        assert got.count() == 8 * 64
+        assert t.read(spark, prune=[("x", "=", 63), ("y", "=", 63)]).count() == 1
+
+    def test_single_column_cluster_cannot_serve_second_dim(self, spark, tmp_path):
+        """The contrast that motivates z-order: cluster_by x leaves y
+        unprunable (every file spans all y? no — row-major data means
+        x-sort leaves y spread: each x-slice contains ALL y values)."""
+        t = self._grid_table(spark, tmp_path, "c")
+        t.compact(spark, target_files=16, cluster_by=["x"])
+        py = t.prune_report([("y", ">=", 0), ("y", "<", 8)])
+        assert py["files_kept"] == py["files_total"]  # useless on y
+        px = t.prune_report([("x", ">=", 0), ("x", "<", 8)])
+        assert px["files_kept"] <= 3  # but excellent on x
+
+    def test_zorder_validation(self, spark, tmp_path):
+        from swarm_spark.filestats import zorder_expression
+
+        t = self._grid_table(spark, tmp_path, "v")
+        with pytest.raises(ValueError, match="not both"):
+            t.compact(spark, cluster_by=["x"], zorder_by=["x", "y"])
+        df = t.read(spark)
+        with pytest.raises(ValueError, match=">= 2 columns"):
+            zorder_expression(df, ["x"])
+        with pytest.raises(ValueError, match="overflows"):
+            zorder_expression(df, ["x", "y"], bits=32)
+        with pytest.raises(ValueError, match="entirely null"):
+            zorder_expression(
+                df.withColumn("z", F.lit(None).cast("bigint")), ["x", "z"]
+            )
+
+    def test_zorder_composes_with_time_partitioning(self, spark, tmp_path):
+        from swarm_spark.tablestore import IcepackCatalog
+
+        t = IcepackCatalog(str(tmp_path / "zp")).table("t")
+        df = spark.range(0, 2048).select(
+            (F.col("id") % 32).alias("x"),
+            (F.col("id") / 32).cast("bigint").alias("y"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-0"), (F.col("id") % 2 + 1).cast("string"),
+                         F.lit(" 00:00:00"))).alias("ts"),
+        )
+        t.append(df, partition_unit="day", ts_col="ts")
+        t.compact(spark, target_files=16, zorder_by=["x", "y"])
+        rep = t.prune_report([("x", "<", 4), ("y", "<", 4)])
+        assert rep["files_kept"] < rep["files_total"]
+        got = t.read(spark, ts_between=("2024-01-01T00:00:00", "2024-01-01T23:59:59"),
+                     prune=[("x", "<", 4), ("y", "<", 4)])
+        assert got.count() == df.filter(
+            (F.col("x") < 4) & (F.col("y") < 4)
+            & (F.col("ts") < F.lit("2024-01-02"))).count()
