@@ -1028,6 +1028,23 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, iterations=2)
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED icepack postings index (built,
+    token-clustered, then queried with read(prune=[("token","in",
+    terms)]) so only the files holding the query terms are opened) —
+    must hash-match the fresh bm25 computation, so it shares bm25's
+    oracle verbatim."""
+    import tempfile
+
+    from swarm_spark.operators.retrieval import bm25_from_index, build_search_index
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="bm25idx_wh_")).table("postings")
+    build_search_index(docs, t)
+    return bm25_from_index(spark, t, BM25_QUERIES, k=10)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (3 iterations, d=0.85) over the
     customer↔supplier trade graph: lineitem⋈orders yields weighted
@@ -1126,6 +1143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "pagerank": q_pagerank,
     "kmeans": q_kmeans,
+    "bm25_indexed": q_bm25_indexed,
     "quality_model": q_quality_model,
     "mixture": q_mixture,
     "boilerplate": q_boilerplate,
@@ -1521,6 +1539,14 @@ def _pagerank_oracle(iterations: int = 3, damping_ppm: int = 850_000) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql()
+    # the persisted-index path must return EXACTLY what the fresh
+    # computation returns — one oracle, two implementations under test
+    d["bm25_indexed"] = d["bm25"]
+    return d
+
+
+def _oracle_sql() -> dict[str, str]:
     return {
         "stratified_sample": """
             SELECT doc_id, lang, source FROM (

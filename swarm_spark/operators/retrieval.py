@@ -30,7 +30,13 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "heavy_hitters"]
+__all__ = [
+    "bm25_topk",
+    "heavy_hitters",
+    "build_search_index",
+    "extend_search_index",
+    "bm25_from_index",
+]
 
 _TOK_SPLIT = r"\s+"
 
@@ -90,8 +96,18 @@ def bm25_topk(
         F.explode("_toks").alias("token"),
     ).filter((F.col("token") != "") & F.col("token").isin(all_terms))
     tf = hits.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return _rank_postings(tf, corpus, queries, k, k1, b, id_col)
 
+
+def _rank_postings(tf: DataFrame, corpus: DataFrame,
+                   queries: list[tuple[str, list[str]]], k: int,
+                   k1: float, b: float, id_col: str) -> DataFrame:
+    """Shared BM25 scoring core over a postings relation
+    (id, dl, token, tf) + a 1-row corpus relation (n_docs, total_dl).
+    Used by bm25_topk (fresh postings) and bm25_from_index (persisted
+    postings) — both must produce identical rankings."""
+    spark = tf.sparkSession
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in sorted(set(ts))],
         "query_id string, token string",
@@ -222,3 +238,124 @@ def heavy_hitters(
         )
     )
     return exact.select("token", "count")
+
+
+# ---------------------------------------------------------------------------
+# persistent search index (icepack-backed postings)
+# ---------------------------------------------------------------------------
+
+
+def build_search_index(
+    docs: DataFrame,
+    table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_files: int | None = None,
+) -> dict:
+    """Materialize a FULL postings index for a corpus into an icepack
+    table: rows (token, doc_id in `id_col`'s name, dl, tf), corpus
+    scalars (n_docs, total_dl) riding the snapshot as extra_meta so
+    index data and statistics commit ATOMICALLY. The postings rewrite
+    is sort-clustered on token, so a query's read(prune=[("token",
+    "in", terms)]) touches only the files holding those terms — the
+    file-skipping sidecar IS the term dictionary (filestats.py).
+
+    Scale: one explode + one (doc, token) aggregation of the corpus —
+    the same work bm25_topk does per query batch, paid ONCE. Index
+    size ≈ distinct (doc, token) pairs."""
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), _TOK_SPLIT).alias("_toks"),
+    )
+    stats = base.select(F.size("_toks").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    postings = (
+        base.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    meta = {"n_docs": int(stats["n"]), "total_dl": int(stats["t"]), "id_col": id_col}
+    snap = table.append(postings, extra_meta=meta)
+    # token-clustered rewrite: per-file token ranges become tight, so
+    # query-term pruning touches only the relevant files
+    table.compact(postings.sparkSession, cluster_by=["token"],
+                  target_files=target_files)
+    return {"snapshot_id": snap["snapshot_id"], **meta}
+
+
+def extend_search_index(
+    new_docs: DataFrame,
+    table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally index NEW documents (ids must not already be in
+    the index — same caller contract as dedup.minhash_band_index):
+    appends only the new postings and commits the UPDATED corpus
+    scalars in the same snapshot. History is never re-tokenized.
+    Re-cluster on a maintenance cadence (maintain.py --cluster-by
+    token) to restore tight per-file term ranges."""
+    prev = table.current_snapshot()
+    if prev is None or "n_docs" not in prev:
+        raise ValueError("extend needs a search index built by build_search_index")
+    base = new_docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), _TOK_SPLIT).alias("_toks"),
+    )
+    stats = base.select(F.size("_toks").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    postings = (
+        base.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    meta = {
+        "n_docs": int(prev["n_docs"]) + int(stats["n"]),
+        "total_dl": int(prev["total_dl"]) + int(stats["t"]),
+        "id_col": id_col,
+    }
+    # extra_meta uses setdefault semantics (never shadows core fields)
+    # but DOES need to shadow the previous snapshot's user meta — new
+    # snapshots start from a fresh dict, so this just works
+    snap = table.append(postings, extra_meta=meta)
+    return {"snapshot_id": snap["snapshot_id"], **meta}
+
+
+def bm25_from_index(
+    spark,
+    table,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a PERSISTED index: must return exactly what
+    bm25_topk returns on the same corpus (pinned by the bm25_indexed
+    oracle, which is the bm25 oracle verbatim). The postings scan is
+    pruned to the query terms via file skipping — on a token-clustered
+    index a query touches only the files containing its terms, the
+    inverted-index access pattern expressed as a table scan."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    if not all_terms or not queries:
+        raise ValueError("bm25_from_index needs at least one query with terms")
+    snap = table.current_snapshot()
+    if snap is None or "n_docs" not in snap:
+        raise ValueError("no search index in table; run build_search_index")
+    id_col = snap.get("id_col", "doc_id")
+    tf = table.read(spark, prune=[("token", "in", all_terms)])
+    corpus = spark.createDataFrame(
+        [(int(snap["n_docs"]), int(snap["total_dl"]))], "n_docs bigint, total_dl bigint"
+    )
+    return _rank_postings(tf, corpus, queries, k, k1, b, id_col)

@@ -648,6 +648,15 @@ class IcepackTable:
                 "committed_at": time.time(),
                 "snapshot_id": None,
             }
+            # compaction rewrites LAYOUT, not content: user metadata
+            # riding the snapshot (consumer checkpoints, search-index
+            # corpus scalars, …) carries forward — the Iceberg
+            # table-properties-survive-rewrite contract. Internal
+            # bookkeeping keys (underscore-prefixed: _base_dirs,
+            # _writer) are commit-scoped and never carried.
+            for key, val in snap.items():
+                if not key.startswith("_"):
+                    new.setdefault(key, val)
             try:
                 self._commit(new)
                 return new

@@ -145,3 +145,74 @@ class TestHeavyHitters:
             heavy_hitters(docs, 1_000_001)
         with pytest.raises(ValueError, match="MG counters"):
             heavy_hitters(docs, 1)  # 1e6 counters — refuse, use vocabulary
+
+
+class TestSearchIndex:
+    def _corpus(self, spark, n=40, seed=1):
+        rng = random.Random(seed)
+        vocab = ["hash", "join", "scan", "sort", "agg", "merge", "row", "col"]
+        rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(5, 15)))) for i in range(n)]
+        return _docs(spark, rows), rows
+
+    def test_index_equals_fresh_bm25(self, spark, tmp_path):
+        from swarm_spark.operators.retrieval import (
+            bm25_from_index,
+            build_search_index,
+            heavy_hitters,  # noqa: F401  (keep import surface hot)
+        )
+        from swarm_spark.tablestore import IcepackCatalog
+
+        docs, _ = self._corpus(spark)
+        t = IcepackCatalog(str(tmp_path / "wh")).table("postings")
+        meta = build_search_index(docs, t, target_files=8)
+        assert meta["n_docs"] == 40
+        qs = [("q1", ["hash", "join"]), ("q2", ["agg"])]
+        fresh = sorted(map(tuple, bm25_topk(docs, qs, k=7).collect()))
+        idx = sorted(map(tuple, bm25_from_index(spark, t, qs, k=7).collect()))
+        assert fresh == idx
+        # corpus scalars survived the token-clustering compact
+        assert t.current_snapshot()["op"] == "compact"
+        assert t.current_snapshot()["n_docs"] == 40
+        # the clustered index actually prunes on query terms
+        rep = t.prune_report([("token", "in", ["agg"])])
+        assert rep["files_kept"] < rep["files_total"]
+
+    def test_extend_equals_rebuild(self, spark, tmp_path):
+        from swarm_spark.operators.retrieval import (
+            bm25_from_index,
+            build_search_index,
+            extend_search_index,
+        )
+        from swarm_spark.tablestore import IcepackCatalog
+
+        docs_a, rows_a = self._corpus(spark, n=30, seed=2)
+        docs_b, rows_b = self._corpus(spark, n=10, seed=3)
+        rows_b = [(i + 100, t) for i, t in rows_b]  # fresh ids
+        docs_b = _docs(spark, rows_b)
+        t = IcepackCatalog(str(tmp_path / "wh")).table("postings")
+        build_search_index(docs_a, t)
+        meta = extend_search_index(docs_b, t)
+        assert meta["n_docs"] == 40
+        full = _docs(spark, rows_a + rows_b)
+        t2 = IcepackCatalog(str(tmp_path / "wh2")).table("postings")
+        build_search_index(full, t2)
+        qs = [("q", ["hash", "merge", "scan"])]
+        inc = sorted(map(tuple, bm25_from_index(spark, t, qs, k=12).collect()))
+        scratch = sorted(map(tuple, bm25_from_index(spark, t2, qs, k=12).collect()))
+        fresh = sorted(map(tuple, bm25_topk(full, qs, k=12).collect()))
+        assert inc == scratch == fresh
+
+    def test_validation(self, spark, tmp_path):
+        from swarm_spark.operators.retrieval import (
+            bm25_from_index,
+            extend_search_index,
+        )
+        from swarm_spark.tablestore import IcepackCatalog
+
+        docs, _ = self._corpus(spark, n=5)
+        t = IcepackCatalog(str(tmp_path / "wh")).table("not_an_index")
+        t.append(docs)  # a table that is NOT an index
+        with pytest.raises(ValueError, match="search index"):
+            bm25_from_index(spark, t, [("q", ["hash"])])
+        with pytest.raises(ValueError, match="search index"):
+            extend_search_index(docs, t)
