@@ -1028,6 +1028,29 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, iterations=2)
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over events: six rules (two designed
+    to FAIL on this corpus — the 'error' event_type and >100 values)
+    so pass and violation counting are both value-verified. All row
+    rules ride ONE single-pass aggregate; referential is one anti-join
+    count against customer keys."""
+    from swarm_spark.operators.expectations import validate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return validate(
+        ev,
+        [
+            ("not_null", "event_id"),
+            ("unique", ["event_id"]),
+            ("accepted_values", "event_type", ["view", "click", "signup", "purchase"]),
+            ("range", "value", 0.0, 100.0),
+            ("matches", "event_type", "^[a-z]+$"),
+            ("referential", "user_id", cust, "c_custkey"),
+        ],
+    )
+
+
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from a PERSISTED icepack postings index (built,
     token-clustered, then queried with read(prune=[("token","in",
@@ -1144,6 +1167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "kmeans": q_kmeans,
     "bm25_indexed": q_bm25_indexed,
+    "expectations": q_expectations,
     "quality_model": q_quality_model,
     "mixture": q_mixture,
     "boilerplate": q_boilerplate,
@@ -1765,6 +1789,52 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(),
         "kmeans": _kmeans_oracle(),
+        "expectations": """
+            SELECT rule, target, checked, violations,
+                   violations = 0 AS passed
+            FROM (
+              SELECT 'not_null' AS rule, 'event_id' AS target,
+                     CAST(count(*) AS BIGINT) AS checked,
+                     CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS violations
+              FROM events
+              UNION ALL
+              SELECT 'unique', 'event_id',
+                     CAST(count(event_id) AS BIGINT),
+                     CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 'accepted_values', 'event_type',
+                     CAST(count(event_type) AS BIGINT),
+                     CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type
+                                   NOT IN ('view','click','signup','purchase')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 'range', 'value',
+                     CAST(count(value) AS BIGINT),
+                     CAST(sum(CASE WHEN value IS NOT NULL
+                                   AND (value < 0.0 OR value > 100.0)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 'matches', 'event_type',
+                     CAST(count(event_type) AS BIGINT),
+                     CAST(sum(CASE WHEN event_type IS NOT NULL
+                                   AND NOT regexp_matches(event_type, '^[a-z]+$')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 'referential', 'user_id',
+                     CAST(count(e.user_id) AS BIGINT),
+                     CAST(sum(CASE WHEN e.user_id IS NOT NULL
+                                   AND c.c_custkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM events e LEFT JOIN (
+                SELECT DISTINCT c_custkey FROM customer) c
+                ON e.user_id = c.c_custkey)
+            ORDER BY rule, target
+        """,
         "bm25": f"""
             WITH dl AS (
               SELECT doc_id,
