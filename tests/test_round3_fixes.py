@@ -217,8 +217,8 @@ def test_compact_aborts_instead_of_dropping_concurrent_append(spark, tmp_path):
     real_write = t._write_data
     state = {"injected": False}
 
-    def write_then_append(df, unit, ts_col):
-        out = real_write(df, unit, ts_col)
+    def write_then_append(df, unit, ts_col, **kw):
+        out = real_write(df, unit, ts_col, **kw)
         if not state["injected"]:
             state["injected"] = True  # sneak an append in mid-rewrite
             other.append(spark.createDataFrame([(99,)], "a bigint"))
@@ -242,8 +242,8 @@ def test_merge_upsert_retries_on_concurrent_append(spark, tmp_path):
     real_write = t._write_data
     state = {"injected": False}
 
-    def write_then_append(df, unit, ts_col):
-        out = real_write(df, unit, ts_col)
+    def write_then_append(df, unit, ts_col, **kw):
+        out = real_write(df, unit, ts_col, **kw)
         if not state["injected"]:
             state["injected"] = True
             other.append(spark.createDataFrame([(3, "live")], "k bigint, v string"))
