@@ -410,3 +410,52 @@ def zorder_expression(df, cols: list[str], bits: int = 16):
             bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1).cast("bigint"))
             z = z + F.shiftleft(bit, b * d + i)
     return z
+
+
+def predicate_column(predicates: list[tuple]):
+    """The conjunctive predicate as ONE Column expression (SQL
+    three-valued logic: NULL operands make the conjunct NULL)."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(True)
+    for pred in predicates:
+        col, op = pred[0], pred[1]
+        c = F.col(col)
+        if op == "isnull":
+            expr = expr & c.isNull()
+            continue
+        if op == "notnull":
+            expr = expr & c.isNotNull()
+            continue
+        val = pred[2]
+        if isinstance(val, _dt.datetime) and val.tzinfo is not None:
+            val = val.astimezone(_UTC).replace(tzinfo=None)
+        if op in ("=", "=="):
+            expr = expr & (c == F.lit(val))
+        elif op == "<":
+            expr = expr & (c < F.lit(val))
+        elif op == "<=":
+            expr = expr & (c <= F.lit(val))
+        elif op == ">":
+            expr = expr & (c > F.lit(val))
+        elif op == ">=":
+            expr = expr & (c >= F.lit(val))
+        elif op == "in":
+            expr = expr & c.isin(list(val))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+    return expr
+
+
+def affected_dirs(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], list[str]]:
+    """Partition a snapshot's data dirs into (affected, untouched) for
+    a conjunctive predicate: a dir is UNTOUCHED only when its stats
+    prove NO file in it can contain a matching row — the dir-level
+    pruning a copy-on-write DELETE uses to avoid rewriting data the
+    predicate cannot touch. No sidecar ⇒ affected (conservative)."""
+    affected: list[str] = []
+    untouched: list[str] = []
+    for d in dirs:
+        paths, _total, kept = prune_files([d], predicates)
+        (affected if paths else untouched).append(d)
+    return affected, untouched

@@ -41,7 +41,8 @@ def live_file_count(table) -> int:
 def maintain(spark, warehouse: str, tables: list[str] | None = None,
              compact_above_files: int = 0, target_files: int | None = None,
              expire_keep: int = 0, refresh_daily_rollup: bool = False,
-             cluster_by: list[str] | None = None) -> dict:
+             cluster_by: list[str] | None = None,
+             gc_orphans_older_than: float | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from swarm_spark.incremental import refresh_agg
@@ -67,6 +68,9 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
                 entry["compacted"] = False  # writer won; retry next run
         if expire_keep:
             entry["expired"] = t.expire_snapshots(keep_last=expire_keep)
+        if gc_orphans_older_than is not None:
+            entry["orphans"] = t.remove_orphan_files(
+                older_than_sec=gc_orphans_older_than)
         report["tables"][name] = entry
     if refresh_daily_rollup and cat.table("_agg_hourly").exists():
         report["daily_rollup"] = refresh_agg(
@@ -89,6 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="expire snapshots older than the newest K; vacuum dirs")
     ap.add_argument("--refresh-daily-rollup", action="store_true")
+    ap.add_argument("--gc-orphans-older-than", type=float, default=None,
+                    help="remove unreferenced _s= data dirs older than this "
+                         "many seconds (crashed-writer leftovers)")
     ap.add_argument("--cluster-by", nargs="*", default=None,
                     help="sort-cluster compaction rewrites on these columns "
                          "(columns absent from a table are skipped for it) — "
@@ -106,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
         expire_keep=args.expire_keep,
         refresh_daily_rollup=args.refresh_daily_rollup,
         cluster_by=args.cluster_by,
+        gc_orphans_older_than=args.gc_orphans_older_than,
     )
     print(json.dumps(report))
     return 0

@@ -181,7 +181,7 @@ class IcepackTable:
                 claim_fails = 0
                 last_cur = cur
             if cur != snap["parent"]:
-                if snap["op"] in ("compact", "merge"):
+                if snap["op"] in ("compact", "merge", "delete"):
                     # rewrites are computed FROM a snapshot's contents;
                     # committing over a different one loses rows
                     raise CommitConflict(
@@ -665,6 +665,118 @@ class IcepackTable:
         raise CommitConflict(
             f"compact on table {self.name} kept losing to concurrent commits"
         )
+
+    def delete_where(self, spark: SparkSession, predicates: list[tuple],
+                     max_retries: int = 10) -> dict:
+        """Copy-on-write DELETE with dir-level pruning (the Iceberg
+        copy-on-write delete shape): rows matching the conjunctive
+        `predicates` (same forms as read(prune=...)) are removed.
+        Data dirs whose file stats PROVE no row can match are carried
+        into the new snapshot UNTOUCHED — only the affected dirs are
+        rewritten. On a time/cluster-organized table a targeted delete
+        (GDPR erasure, bad-batch excision) therefore rewrites a sliver
+        of the data, not the table. Keep semantics are SQL DELETE's:
+        rows where the predicate is NULL are KEPT.
+
+        Commits op='delete' with the same strictness as compact: a
+        concurrent append aborts the commit (CommitConflict) and the
+        delete recomputes from the new CURRENT, so concurrent rows are
+        never silently dropped. Returns the snapshot; extra keys
+        `dirs_rewritten`/`dirs_untouched`/`rows_deleted` report the
+        pruning."""
+        import shutil
+
+        for _ in range(max_retries):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"table {self.name} has no snapshots")
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            affected, untouched = filestats.affected_dirs(
+                snap["data_dirs"], predicates)
+            if not affected:  # provably nothing to delete
+                return {**snap, "dirs_rewritten": 0,
+                        "dirs_untouched": len(untouched), "rows_deleted": 0}
+            df = self._scan_dirs(spark, affected)
+            if "_p" in df.columns:
+                df = df.drop("_p")
+            cols = [
+                F.col(f.name).cast(f.dataType) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            df = df.select(*cols)
+            # affected-dir row count from the stats sidecars when all
+            # are present (metadata, no job); Spark count otherwise
+            sidecars = [filestats.load_dir_stats(d) for d in affected]
+            if all(s and s.get("files") for s in sidecars):
+                before = sum(
+                    f["rows"] for s in sidecars for f in s["files"].values()
+                )
+            else:
+                before = df.count()
+            keep = df.filter(
+                ~F.coalesce(filestats.predicate_column(predicates), F.lit(False))
+            )
+            ddir, n_kept = self._write_data(
+                keep, snap.get("partition_unit", ""),
+                snap.get("ts_col", "timestamp"))
+            new = {
+                "parent": snap["snapshot_id"],
+                "op": "delete",
+                "data_dirs": untouched + ([ddir] if n_kept else []),
+                "schema": snap["schema"],
+                "partition_unit": snap.get("partition_unit", ""),
+                "ts_col": snap.get("ts_col", "timestamp"),
+                "row_count": snap.get("row_count", 0) - (before - n_kept),
+                "added_rows": 0,
+                "committed_at": time.time(),
+                "snapshot_id": None,
+            }
+            for key, val in snap.items():  # user metadata carries forward
+                if not key.startswith("_"):
+                    new.setdefault(key, val)
+            try:
+                self._commit(new)
+                if not n_kept:
+                    shutil.rmtree(ddir, ignore_errors=True)  # empty rewrite
+                new["dirs_rewritten"] = len(affected)
+                new["dirs_untouched"] = len(untouched)
+                new["rows_deleted"] = before - n_kept
+                return new
+            except CommitConflict:
+                shutil.rmtree(ddir, ignore_errors=True)  # stale rewrite
+        raise CommitConflict(
+            f"delete_where on table {self.name} kept losing to concurrent commits"
+        )
+
+    def remove_orphan_files(self, older_than_sec: float = 3600.0) -> dict:
+        """GC data dirs not referenced by ANY live snapshot (the
+        remove_orphan_files maintenance op): crashed writers leave
+        fully-written `_s=` dirs whose commit never advanced CURRENT,
+        and aborted rewrites can leave staging dirs. Only dirs older
+        than `older_than_sec` are removed — an IN-FLIGHT writer's dir
+        is never collected (default 1 h dwarfs any commit window).
+        Never touches referenced dirs; returns counts."""
+        import shutil
+
+        live: set[str] = set()
+        for s in self.snapshots():
+            live.update(os.path.basename(d) for d in s["data_dirs"])
+        removed = kept_young = 0
+        now = time.time()
+        if os.path.isdir(self.data):
+            for name in os.listdir(self.data):
+                full = os.path.join(self.data, name)
+                if not name.startswith("_s=") or not os.path.isdir(full):
+                    continue
+                if name in live:
+                    continue
+                if now - os.path.getmtime(full) < older_than_sec:
+                    kept_young += 1
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return {"orphans_removed": removed, "orphans_too_young": kept_young}
 
     # -- read ----------------------------------------------------------
     def _scan_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame:

@@ -339,3 +339,110 @@ class TestZOrder:
         assert got.count() == df.filter(
             (F.col("x") < 4) & (F.col("y") < 4)
             & (F.col("ts") < F.lit("2024-01-02"))).count()
+
+
+class TestDeleteWhere:
+    def test_targeted_delete_rewrites_only_affected_dirs(self, chunked_table, spark):
+        """Four disjoint-range dirs; deleting k in [150,200) must
+        rewrite ONE dir and carry the other three untouched."""
+        t = chunked_table
+        dirs_before = set(t.current_snapshot()["data_dirs"])
+        snap = t.delete_where(spark, [("k", ">=", 150), ("k", "<", 200)])
+        assert snap["op"] == "delete"
+        assert snap["dirs_rewritten"] == 1 and snap["dirs_untouched"] == 3
+        assert snap["rows_deleted"] == 50
+        # the three untouched dirs are literally the same dirs
+        assert len(dirs_before & set(snap["data_dirs"])) == 3
+        got = t.read(spark)
+        assert got.count() == 350
+        assert got.filter((F.col("k") >= 150) & (F.col("k") < 200)).count() == 0
+        assert t.current_snapshot()["row_count"] == 350
+        # time travel to pre-delete still sees everything
+        assert t.read(spark, snapshot_id=snap["parent"]).count() == 400
+
+    def test_delete_null_predicate_rows_are_kept(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        t.append(spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y")], "k int, v string"))
+        snap = t.delete_where(spark, [("v", "=", "x")])
+        assert snap["rows_deleted"] == 1
+        assert _rows_set(t.read(spark)) == {(2, None), (3, "y")}
+
+    def test_delete_nothing_is_metadata_only(self, chunked_table, spark):
+        sid = chunked_table.current_snapshot()["snapshot_id"]
+        snap = chunked_table.delete_where(spark, [("k", "=", 99999)])
+        assert snap["rows_deleted"] == 0 and snap["dirs_rewritten"] == 0
+        # no new snapshot was committed — provably-no-match is free
+        assert chunked_table.current_snapshot()["snapshot_id"] == sid
+        assert chunked_table.read(spark).count() == 400
+
+    def test_delete_everything_leaves_empty_table(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        t.append(spark.createDataFrame([(1,), (2,)], "k int"))
+        snap = t.delete_where(spark, [("k", ">=", 0)])
+        assert snap["rows_deleted"] == 2
+        got = t.read(spark)
+        assert got.count() == 0 and got.columns == ["k"]
+
+    def test_delete_aborts_on_concurrent_append(self, spark, tmp_path):
+        """An append sneaking in mid-rewrite must abort the commit and
+        the retry must see (and not delete) the new row."""
+        t = _mk_table(spark, tmp_path)
+        t.append(spark.createDataFrame([(1,), (2,)], "k int"))
+        real_write = t._write_data
+        state = {"injected": False}
+
+        def write_then_append(df, unit, ts_col, **kw):
+            out = real_write(df, unit, ts_col, **kw)
+            if not state["injected"]:
+                state["injected"] = True
+                t.append(spark.createDataFrame([(99,)], "k int"))
+            return out
+
+        t._write_data = write_then_append
+        snap = t.delete_where(spark, [("k", "=", 1)])
+        t._write_data = real_write
+        assert state["injected"]
+        assert snap["rows_deleted"] == 1
+        assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 99]
+
+    def test_delete_on_partitioned_table(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-0"), (F.col("id") % 2 + 1).cast("string"),
+                         F.lit(" 00:00:00"))).alias("ts"),
+        )
+        t.append(df, partition_unit="day", ts_col="ts")
+        snap = t.delete_where(spark, [("k", "<", 50)])
+        assert snap["rows_deleted"] == 50
+        assert t.read(spark).count() == 150
+        # partition pruning still works post-delete
+        jan1 = t.read(spark, ts_between=("2024-01-01T00:00:00", "2024-01-01T23:59:59"))
+        assert jan1.count() == 75  # even ids in [50, 200)
+
+
+class TestOrphanGC:
+    def test_orphans_removed_referenced_kept(self, chunked_table, spark):
+        import os as _os
+        import time as _time
+
+        t = chunked_table
+        orphan = os.path.join(t.data, "_s=deadbeef")
+        _os.makedirs(orphan)
+        with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
+            fh.write("x")
+        old = _time.time() - 7200
+        _os.utime(orphan, (old, old))
+        fresh_orphan = os.path.join(t.data, "_s=cafebabe")
+        _os.makedirs(fresh_orphan)
+        rep = t.remove_orphan_files(older_than_sec=3600)
+        assert rep == {"orphans_removed": 1, "orphans_too_young": 1}
+        assert not _os.path.isdir(orphan) and _os.path.isdir(fresh_orphan)
+        assert t.read(spark).count() == 400  # table untouched
+        # dirs referenced ONLY by an old snapshot are still live
+        t.compact(spark, target_files=1)
+        rep = t.remove_orphan_files(older_than_sec=0)
+        assert rep["orphans_removed"] == 1  # just the young one from before
+        assert t.read(spark, snapshot_id=1).count() == 100  # time travel intact
