@@ -1160,7 +1160,46 @@ def q_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE end to end (tablestore.delete_where):
+    documents land in an icepack table as four doc_id-quartile appends
+    with a derived NULLABLE quality column; a conjunctive delete
+    (doc_id in the middle half AND quality < 30) then (a) rewrites
+    ONLY the dirs whose file stats admit a match — the outer quartiles
+    carry into the new snapshot untouched (asserted) — and (b) KEEPS
+    rows whose predicate evaluates NULL, SQL DELETE semantics the
+    oracle recomputes as NOT coalesce(pred, FALSE). The reference's
+    BigQuery sinks are append-only (pkg/infra/bq/client.go), so this
+    is the lakehouse completion of the K1 commit family, not a port:
+    targeted erasure (GDPR, bad batch) that touches a sliver of a
+    clustered table instead of rewriting it."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(F.col("n_chars") % 7 == 0, F.lit(None).cast("bigint"))
+         .otherwise(F.col("n_chars") % 100).alias("quality"),
+        F.md5("text").alias("text_md5"),
+    )
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    q = (mx - mn + 1) // 4
+    lo, hi = mn + q, mn + 3 * q
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="cowdel_wh_")).table("documents")
+    bounds = [mn, lo, mn + 2 * q, hi, mx + 1]
+    for a, b in zip(bounds, bounds[1:]):
+        t.append(docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b)))
+    snap = t.delete_where(spark, [("doc_id", ">=", lo), ("doc_id", "<", hi),
+                                  ("quality", "<", 30)])
+    if snap["dirs_untouched"] < 2:  # outer quartiles must be stat-pruned
+        raise AssertionError(f"dir pruning failed: {snap}")
+    return t.read(spark).select("doc_id", "lang", "source", "n_chars",
+                                "quality", "text_md5")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cow_delete": q_cow_delete,
     "file_skip": q_file_skip,
     "bm25": q_bm25,
     "heavy_hitters": q_heavy_hitters,
@@ -1890,6 +1929,23 @@ def _oracle_sql() -> dict[str, str]:
             FROM t, tot
             GROUP BY token, n
             HAVING count(*) * 1000000 >= 20000 * n
+        """,
+        "cow_delete": """
+            WITH d AS (
+              SELECT doc_id, lang, source, n_chars,
+                     CASE WHEN n_chars % 7 = 0 THEN NULL
+                          ELSE n_chars % 100 END AS quality,
+                     md5(text) AS text_md5
+              FROM documents),
+            b AS (
+              SELECT min(doc_id) AS mn,
+                     (max(doc_id) - min(doc_id) + 1) // 4 AS q
+              FROM documents)
+            SELECT doc_id, lang, source, n_chars, quality, text_md5
+            FROM d, b
+            WHERE NOT coalesce(
+              doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
+              AND quality < 30, FALSE)
         """,
         "file_skip": """
             WITH b AS (
