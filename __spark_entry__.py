@@ -1198,8 +1198,43 @@ def q_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "quality", "text_md5")
 
 
+def q_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE end to end (tablestore.update_where), the
+    cow_delete construction with SET semantics under test: the same
+    quartile-appended table + nullable quality column, then
+    SET quality = quality + 1000 WHERE doc_id in the middle half AND
+    quality < 30. Pins: expressions see PRE-update values, NULL
+    predicates leave rows untouched, non-matching rows byte-identical,
+    outer quartiles stat-pruned (asserted)."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(F.col("n_chars") % 7 == 0, F.lit(None).cast("bigint"))
+         .otherwise(F.col("n_chars") % 100).alias("quality"),
+    )
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    q = (mx - mn + 1) // 4
+    lo, hi = mn + q, mn + 3 * q
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="cowupd_wh_")).table("documents")
+    bounds = [mn, lo, mn + 2 * q, hi, mx + 1]
+    for a, b in zip(bounds, bounds[1:]):
+        t.append(docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b)))
+    snap = t.update_where(
+        spark, [("doc_id", ">=", lo), ("doc_id", "<", hi),
+                ("quality", "<", 30)],
+        {"quality": F.col("quality") + 1000})
+    if snap["dirs_untouched"] < 2:  # outer quartiles must be stat-pruned
+        raise AssertionError(f"dir pruning failed: {snap}")
+    return t.read(spark).select("doc_id", "lang", "source", "n_chars",
+                                "quality")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cow_delete": q_cow_delete,
+    "cow_update": q_cow_update,
     "file_skip": q_file_skip,
     "bm25": q_bm25,
     "heavy_hitters": q_heavy_hitters,
@@ -1946,6 +1981,23 @@ def _oracle_sql() -> dict[str, str]:
             WHERE NOT coalesce(
               doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
               AND quality < 30, FALSE)
+        """,
+        "cow_update": """
+            WITH d AS (
+              SELECT doc_id, lang, source, n_chars,
+                     CASE WHEN n_chars % 7 = 0 THEN NULL
+                          ELSE n_chars % 100 END AS quality
+              FROM documents),
+            b AS (
+              SELECT min(doc_id) AS mn,
+                     (max(doc_id) - min(doc_id) + 1) // 4 AS q
+              FROM documents)
+            SELECT doc_id, lang, source, n_chars,
+                   CASE WHEN coalesce(
+                          doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
+                          AND quality < 30, FALSE)
+                        THEN quality + 1000 ELSE quality END AS quality
+            FROM d, b
         """,
         "file_skip": """
             WITH b AS (

@@ -40,7 +40,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -181,7 +181,7 @@ class IcepackTable:
                 claim_fails = 0
                 last_cur = cur
             if cur != snap["parent"]:
-                if snap["op"] in ("compact", "merge", "delete"):
+                if snap["op"] in ("compact", "merge", "delete", "update"):
                     # rewrites are computed FROM a snapshot's contents;
                     # committing over a different one loses rows
                     raise CommitConflict(
@@ -747,6 +747,89 @@ class IcepackTable:
                 shutil.rmtree(ddir, ignore_errors=True)  # stale rewrite
         raise CommitConflict(
             f"delete_where on table {self.name} kept losing to concurrent commits"
+        )
+
+    def update_where(self, spark: SparkSession, predicates: list[tuple],
+                     assignments: dict, max_retries: int = 10) -> dict:
+        """Copy-on-write UPDATE with the same dir-level stats pruning
+        as delete_where: rows matching the conjunctive `predicates`
+        get `assignments` applied ({col: Column-expr-or-literal};
+        exprs see PRE-update values, SQL UPDATE semantics); provably
+        -unaffected dirs carry into the new snapshot untouched. Rows
+        whose predicate is NULL are NOT updated. Assigned values are
+        cast to the column's declared type — the table schema never
+        drifts. Commits op='update' (concurrent append ⇒ recompute
+        from new CURRENT). Returns the snapshot + `dirs_rewritten` /
+        `dirs_untouched` / `rows_updated`."""
+        import shutil
+
+        for _ in range(max_retries):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"table {self.name} has no snapshots")
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            known = {f.name for f in schema.fields}
+            unknown = set(assignments) - known
+            if unknown:
+                raise ValueError(
+                    f"update_where: unknown column(s) {sorted(unknown)}; "
+                    f"table {self.name} has {sorted(known)}")
+            affected, untouched = filestats.affected_dirs(
+                snap["data_dirs"], predicates)
+            if not affected:  # provably nothing to update
+                return {**snap, "dirs_rewritten": 0,
+                        "dirs_untouched": len(untouched), "rows_updated": 0}
+            df = self._scan_dirs(spark, affected)
+            if "_p" in df.columns:
+                df = df.drop("_p")
+            df = df.select(*[
+                F.col(f.name).cast(f.dataType) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ])
+            pred = F.coalesce(
+                filestats.predicate_column(predicates), F.lit(False))
+            # matched-row count rides the write job (no extra pass)
+            obs = Observation()
+            df = df.observe(obs, F.sum(pred.cast("bigint")).alias("matched"))
+            cols = []
+            for f in schema.fields:
+                if f.name in assignments:
+                    v = assignments[f.name]
+                    if not isinstance(v, Column):
+                        v = F.lit(v)
+                    cols.append(F.when(pred, v.cast(f.dataType))
+                                .otherwise(F.col(f.name)).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            ddir, n_new = self._write_data(
+                df.select(*cols), snap.get("partition_unit", ""),
+                snap.get("ts_col", "timestamp"))
+            new = {
+                "parent": snap["snapshot_id"],
+                "op": "update",
+                "data_dirs": untouched + ([ddir] if n_new else []),
+                "schema": snap["schema"],
+                "partition_unit": snap.get("partition_unit", ""),
+                "ts_col": snap.get("ts_col", "timestamp"),
+                "row_count": snap.get("row_count", 0),
+                "added_rows": 0,
+                "committed_at": time.time(),
+                "snapshot_id": None,
+            }
+            for key, val in snap.items():  # user metadata carries forward
+                if not key.startswith("_"):
+                    new.setdefault(key, val)
+            try:
+                self._commit(new)
+                new["dirs_rewritten"] = len(affected)
+                new["dirs_untouched"] = len(untouched)
+                new["rows_updated"] = int(obs.get["matched"] or 0)
+                return new
+            except CommitConflict:
+                shutil.rmtree(ddir, ignore_errors=True)  # stale rewrite
+        raise CommitConflict(
+            f"update_where on table {self.name} kept losing to concurrent commits"
         )
 
     def remove_orphan_files(self, older_than_sec: float = 3600.0) -> dict:

@@ -423,6 +423,63 @@ class TestDeleteWhere:
         assert jan1.count() == 75  # even ids in [50, 200)
 
 
+class TestUpdateWhere:
+    def test_targeted_update_rewrites_only_affected_dirs(self, chunked_table, spark):
+        t = chunked_table
+        dirs_before = set(t.current_snapshot()["data_dirs"])
+        snap = t.update_where(
+            spark, [("k", ">=", 150), ("k", "<", 200)], {"s": "ZZZ"})
+        assert snap["op"] == "update"
+        assert snap["dirs_rewritten"] == 1 and snap["dirs_untouched"] == 3
+        assert snap["rows_updated"] == 50
+        assert len(dirs_before & set(snap["data_dirs"])) == 3
+        got = t.read(spark)
+        assert got.count() == 400 and snap["row_count"] == 400
+        assert got.filter(F.col("s") == "ZZZ").count() == 50
+        assert got.filter(
+            (F.col("k") >= 150) & (F.col("k") < 200)
+            & (F.col("s") != "ZZZ")).count() == 0
+        # time travel to pre-update sees the old values
+        old = t.read(spark, snapshot_id=snap["parent"])
+        assert old.filter(F.col("s") == "ZZZ").count() == 0
+
+    def test_update_expression_sees_pre_update_values(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        t.append(spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k int, n int"))
+        snap = t.update_where(
+            spark, [("k", ">=", 2)], {"n": F.col("n") + F.col("k")})
+        assert snap["rows_updated"] == 2
+        assert _rows_set(t.read(spark)) == {(1, 10), (2, 22), (3, 33)}
+
+    def test_update_null_predicate_rows_unchanged(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        t.append(spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y")], "k int, v string"))
+        snap = t.update_where(spark, [("v", "=", "x")], {"v": "upd"})
+        assert snap["rows_updated"] == 1
+        assert _rows_set(t.read(spark)) == {(1, "upd"), (2, None), (3, "y")}
+
+    def test_update_nothing_is_metadata_only(self, chunked_table, spark):
+        sid = chunked_table.current_snapshot()["snapshot_id"]
+        snap = chunked_table.update_where(
+            spark, [("k", "=", 99999)], {"s": "nope"})
+        assert snap["rows_updated"] == 0 and snap["dirs_rewritten"] == 0
+        assert chunked_table.current_snapshot()["snapshot_id"] == sid
+
+    def test_update_value_cast_to_column_type(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        t.append(spark.createDataFrame([(1, 10)], "k int, n int"))
+        t.update_where(spark, [("k", "=", 1)], {"n": 99.0})  # float → int col
+        got = t.read(spark)
+        assert dict(got.dtypes)["n"] == "int"
+        assert got.first()["n"] == 99
+
+    def test_update_unknown_column_raises(self, chunked_table, spark):
+        with pytest.raises(ValueError, match="unknown column"):
+            chunked_table.update_where(spark, [("k", "=", 1)], {"nope": 0})
+
+
 class TestOrphanGC:
     def test_orphans_removed_referenced_kept(self, chunked_table, spark):
         import os as _os
