@@ -38,11 +38,44 @@ def live_file_count(table) -> int:
     return n
 
 
+def erase_batch(spark, warehouse: str, batch_id: str,
+                tables: list[str] | None = None) -> dict:
+    """Excise one ingest batch from every sink (bad-batch rollback
+    AFTER later batches have landed, when expire/rollback would lose
+    them): delete_where(ingest_id = batch). Because each append lands
+    in its own `_s=` dir whose stats sidecar pins ingest_id min=max,
+    dir-level pruning rewrites EXACTLY the dirs that batch wrote and
+    carries every other batch's dirs untouched — erasure cost is
+    O(batch), not O(table). Tables without an ingest_id column (aggs,
+    audit) are skipped and reported."""
+    from swarm_spark.tablestore import IcepackCatalog
+
+    cat = IcepackCatalog(warehouse)
+    report: dict = {}
+    for name in tables or cat.tables():
+        t = cat.table(name)
+        snap = t.current_snapshot() if t.exists() else None
+        if snap is None:
+            continue
+        import json as _json
+
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(_json.loads(snap["schema"]))
+        if "ingest_id" not in {f.name for f in schema.fields}:
+            report[name] = {"skipped": "no ingest_id column"}
+            continue
+        s = t.delete_where(spark, [("ingest_id", "=", batch_id)])
+        report[name] = {k: s[k] for k in
+                        ("rows_deleted", "dirs_rewritten", "dirs_untouched")}
+    return report
+
+
 def maintain(spark, warehouse: str, tables: list[str] | None = None,
              compact_above_files: int = 0, target_files: int | None = None,
              expire_keep: int = 0, refresh_daily_rollup: bool = False,
              cluster_by: list[str] | None = None,
-             gc_orphans_older_than: float | None = None) -> dict:
+             gc_orphans_older_than: float | None = None,
+             erase_batch_id: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from swarm_spark.incremental import refresh_agg
@@ -51,6 +84,8 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
     cat = IcepackCatalog(warehouse)
     names = tables or cat.tables()
     report: dict = {"tables": {}}
+    if erase_batch_id:
+        report["erased"] = erase_batch(spark, warehouse, erase_batch_id, names)
     for name in names:
         t = cat.table(name)
         if not t.exists():
@@ -96,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gc-orphans-older-than", type=float, default=None,
                     help="remove unreferenced _s= data dirs older than this "
                          "many seconds (crashed-writer leftovers)")
+    ap.add_argument("--erase-batch", default=None, metavar="BATCH_ID",
+                    help="excise one ingest batch (delete_where ingest_id=) "
+                         "from every table that has the envelope column; "
+                         "dir pruning rewrites only that batch's dirs")
     ap.add_argument("--cluster-by", nargs="*", default=None,
                     help="sort-cluster compaction rewrites on these columns "
                          "(columns absent from a table are skipped for it) — "
@@ -114,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         refresh_daily_rollup=args.refresh_daily_rollup,
         cluster_by=args.cluster_by,
         gc_orphans_older_than=args.gc_orphans_older_than,
+        erase_batch_id=args.erase_batch,
     )
     print(json.dumps(report))
     return 0

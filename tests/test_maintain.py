@@ -85,3 +85,45 @@ class TestMaintain:
         assert point["files_kept"] == 1 and point["files_total"] >= 3
         assert t.read(spark, prune=[("k", "=", 123)]).count() == 1
         assert other.read(spark).count() == 3
+
+
+class TestEraseBatch:
+    def test_erase_rewrites_only_the_batch_dirs(self, spark, tmp_path):
+        """Three batch appends; erasing the middle one must rewrite
+        ZERO dirs beyond metadata: every surviving batch's dir is
+        carried verbatim (the per-append sidecar pins ingest_id
+        min=max, so pruning excludes the other batches outright)."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.maintain import erase_batch
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("sink_user")
+        for b in ("b1", "b2", "b3"):
+            t.append(spark.range(0, 10).select(
+                F.col("id").alias("k"), F.lit(b).alias("ingest_id")))
+        agg = cat.table("_agg")  # no ingest_id → skipped
+        agg.append(spark.createDataFrame([(1,)], "n int"))
+        dirs_before = set(t.current_snapshot()["data_dirs"])
+
+        rep = erase_batch(spark, str(tmp_path), "b2")
+        assert rep["sink_user"] == {
+            "rows_deleted": 10, "dirs_rewritten": 1, "dirs_untouched": 2}
+        assert rep["_agg"] == {"skipped": "no ingest_id column"}
+        # the two surviving batches' dirs are literally the same dirs
+        assert len(dirs_before & set(t.current_snapshot()["data_dirs"])) == 2
+        got = t.read(spark)
+        assert got.count() == 20
+        assert got.filter(F.col("ingest_id") == "b2").count() == 0
+
+    def test_erase_via_maintain_cli_path(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("s")
+        for b in ("x", "y"):
+            t.append(spark.range(0, 5).select(
+                F.col("id").alias("k"), F.lit(b).alias("ingest_id")))
+        rep = maintain(spark, str(tmp_path), erase_batch_id="x")
+        assert rep["erased"]["s"]["rows_deleted"] == 5
+        assert t.read(spark).count() == 5
