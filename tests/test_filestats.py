@@ -360,6 +360,19 @@ class TestDeleteWhere:
         # time travel to pre-delete still sees everything
         assert t.read(spark, snapshot_id=snap["parent"]).count() == 400
 
+    def test_stats_sidecar_survives_delete_rewrite(self, chunked_table, spark):
+        """The rewritten dir must carry a fresh sidecar so file
+        skipping keeps working after DML."""
+        t = chunked_table
+        dirs_before = set(t.current_snapshot()["data_dirs"])
+        snap = t.delete_where(spark, [("k", ">=", 150), ("k", "<", 200)])
+        new_dir = [d for d in snap["data_dirs"] if d not in dirs_before]
+        assert len(new_dir) == 1 and load_dir_stats(new_dir[0])
+        rep = t.prune_report([("k", "=", 120)])  # survivor in rewritten dir
+        assert rep["files_kept"] < rep["files_total"]
+        assert t.read(spark, prune=[("k", "=", 120)]).count() == 1
+        assert t.read(spark, prune=[("k", "=", 170)]).count() == 0  # deleted
+
     def test_delete_null_predicate_rows_are_kept(self, spark, tmp_path):
         t = _mk_table(spark, tmp_path)
         t.append(spark.createDataFrame(
