@@ -269,6 +269,13 @@ def _maybe_matches(entry: list, rows: int, op: str, val) -> bool:
         if op == "in":
             return any(_maybe_matches(entry, rows, "=", v) for v in val)
         v = _norm(val, tag)
+        if isinstance(v, float) and v != v:
+            # NaN literal: Spark's NaN semantics (NaN == NaN is true, NaN
+            # sorts above every double) disagree with Python comparisons
+            # (always False), and parquet min/max exclude NaN — pruning on a
+            # NaN literal would drop files that DO contain matching rows.
+            # Never prune; the post-scan filter applies engine semantics.
+            return True
         if op in ("=", "=="):
             return (mn is None or mn <= v) and (mx is None or v <= mx)
         if op == "<":

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tablestore import IcepackTable, IncrementalReadError
+from .tablestore import CommitConflict, IcepackTable, IncrementalReadError
 
 _CKPT_KEY = "src_snapshot_id"
 
@@ -62,37 +62,60 @@ def refresh_agg(
     `prepare(df) -> df` optionally maps the (incremental or full) fact
     rows before aggregation (e.g. derive the hour bucket column).
     Idempotent: a second call with no new source commits is a no-op.
+
+    Safe under CONCURRENT refreshers: the delta append is conditional
+    on dst's checkpoint still being the one this refresh read
+    (tablestore `require_parent_meta`), so two overlapping refreshes
+    that both read checkpoint X cannot both land the same delta — the
+    loser gets CommitConflict, re-reads the (now-advanced) checkpoint
+    and retries with the correct, smaller increment. Exactly-once
+    holds without a single-refresher assumption.
     """
     sums = sums or {}
-    cur = src.current_snapshot()
-    if cur is None:
-        raise FileNotFoundError(f"source table {src.name} has no snapshots")
-    src_sid = cur["snapshot_id"]
-    last = None
-    if dst.exists():
-        last = dst.current_snapshot().get(_CKPT_KEY)
-    if last == src_sid:
-        return {"mode": "noop", "src_snapshot_id": src_sid, "delta_rows": 0}
+    for _ in range(10):
+        cur = src.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"source table {src.name} has no snapshots")
+        src_sid = cur["snapshot_id"]
+        last = None
+        if dst.exists():
+            last = dst.current_snapshot().get(_CKPT_KEY)
+        if last == src_sid:
+            return {"mode": "noop", "src_snapshot_id": src_sid, "delta_rows": 0}
 
-    if last is not None:
+        if last is not None:
+            try:
+                inc = src.read_incremental(spark, last, src_sid)
+                if prepare is not None:
+                    inc = prepare(inc)
+                delta = _partial_agg(inc, keys, sums)
+                snap = dst.append(delta, extra_meta={_CKPT_KEY: src_sid},
+                                  require_parent_meta={_CKPT_KEY: last})
+                return {"mode": "incremental", "src_snapshot_id": src_sid,
+                        "delta_rows": snap["added_rows"]}
+            except IncrementalReadError:
+                pass  # rewrite crossed the checkpoint → full recompute below
+            except CommitConflict:
+                continue  # another refresher advanced the checkpoint — re-read
+
+        full = src.read(spark, snapshot_id=src_sid)
+        if prepare is not None:
+            full = prepare(full)
+        agg = _partial_agg(full, keys, sums)
         try:
-            inc = src.read_incremental(spark, last, src_sid)
-            if prepare is not None:
-                inc = prepare(inc)
-            delta = _partial_agg(inc, keys, sums)
-            snap = dst.append(delta, extra_meta={_CKPT_KEY: src_sid})
-            return {"mode": "incremental", "src_snapshot_id": src_sid,
-                    "delta_rows": snap["added_rows"]}
-        except IncrementalReadError:
-            pass  # rewrite crossed the checkpoint → full recompute below
-
-    full = src.read(spark, snapshot_id=src_sid)
-    if prepare is not None:
-        full = prepare(full)
-    agg = _partial_agg(full, keys, sums)
-    snap = dst.overwrite(agg, op="overwrite", extra_meta={_CKPT_KEY: src_sid})
-    return {"mode": "full", "src_snapshot_id": src_sid,
-            "delta_rows": snap["added_rows"]}
+            # Conditional on the checkpoint we read: a concurrent refresher
+            # that already advanced it (possibly past src_sid) must not be
+            # clobbered by our stale full recompute.
+            snap = dst.overwrite(agg, op="overwrite",
+                                 extra_meta={_CKPT_KEY: src_sid},
+                                 require_parent_meta={_CKPT_KEY: last})
+        except CommitConflict:
+            continue  # concurrent commit during the rewrite — re-read and retry
+        return {"mode": "full", "src_snapshot_id": src_sid,
+                "delta_rows": snap["added_rows"]}
+    raise CommitConflict(
+        f"refresh_agg({dst.name}): persistent checkpoint contention after 10 attempts"
+    )
 
 
 def read_agg(spark: SparkSession, dst: IcepackTable, keys: list[str],

@@ -164,6 +164,14 @@ class IcepackTable:
         orphaned snap file cannot wedge the table forever.
         """
         base_dirs = snap.pop("_base_dirs", None) or []
+        # Conditional commit: require the PARENT snapshot (whatever it is at
+        # claim time, including after a rebase) to carry these metadata
+        # key→values, else CommitConflict. This is how a checkpointed
+        # consumer (incremental.refresh_agg) makes "append iff the
+        # checkpoint is still X" atomic — two concurrent refreshes that
+        # both read checkpoint X cannot BOTH land their delta, because the
+        # winner's commit changes the checkpoint the loser requires.
+        require_meta = snap.pop("_require_parent_meta", None)
         # Unique writer token: after advancing CURRENT we re-read the
         # claimed snap file and verify it still carries OUR token — if
         # an adopter clobbered it during the claim→CURRENT window we
@@ -180,6 +188,15 @@ class IcepackTable:
                 # against an EARLIER sid say nothing about this one
                 claim_fails = 0
                 last_cur = cur
+                if require_meta:
+                    parent_snap = self.current_snapshot() if cur is not None else None
+                    for k, v in require_meta.items():
+                        have = parent_snap.get(k) if parent_snap is not None else None
+                        if have != v:
+                            raise CommitConflict(
+                                f"table {self.name}: parent snapshot meta "
+                                f"{k}={have!r} != required {v!r}"
+                            )
             if cur != snap["parent"]:
                 if snap["op"] in ("compact", "merge", "delete", "update"):
                     # rewrites are computed FROM a snapshot's contents;
@@ -424,7 +441,8 @@ class IcepackTable:
     def _append_snapshot(self, ddir: str | None, n: int,
                          incoming_schema: T.StructType,
                          partition_unit: str, ts_col: str,
-                         extra_meta: dict | None = None) -> dict:
+                         extra_meta: dict | None = None,
+                         require_parent_meta: dict | None = None) -> dict:
         """Shared commit path for append() and adopt_dir(): schema
         evolution + snapshot construction around an already-written
         (or absent, when n==0) data dir."""
@@ -451,21 +469,36 @@ class IcepackTable:
         if extra_meta:
             for k, v in extra_meta.items():
                 snap.setdefault(k, v)  # user metadata never shadows core fields
+        if require_parent_meta:
+            snap["_require_parent_meta"] = require_parent_meta
         snap["snapshot_id"] = None
         self._commit(snap)
         return snap
 
     def append(self, df: DataFrame, partition_unit: str = "", ts_col: str = "timestamp",
-               extra_meta: dict | None = None) -> dict:
+               extra_meta: dict | None = None,
+               require_parent_meta: dict | None = None) -> dict:
         """Append with schema evolution; returns the committed snapshot.
         `extra_meta` rides the snapshot json (Iceberg snapshot summary
         analogue) — e.g. a consumer checkpoint, so the checkpoint and
-        the data land in ONE atomic commit."""
+        the data land in ONE atomic commit. `require_parent_meta`
+        makes the append CONDITIONAL: it commits only if the parent
+        snapshot at commit time carries those key→values, else raises
+        CommitConflict (the data dir is rolled back by the caller's
+        normal error path; orphan GC also covers it)."""
         prev = self.current_snapshot()
         unit = (prev.get("partition_unit") or partition_unit) if prev else partition_unit
         ddir, n = self._write_data(df, unit, ts_col)
-        return self._append_snapshot(ddir, n, df.schema, partition_unit, ts_col,
-                                     extra_meta=extra_meta)
+        try:
+            return self._append_snapshot(ddir, n, df.schema, partition_unit, ts_col,
+                                         extra_meta=extra_meta,
+                                         require_parent_meta=require_parent_meta)
+        except CommitConflict:
+            if ddir is not None:
+                import shutil
+
+                shutil.rmtree(ddir, ignore_errors=True)
+            raise
 
     def adopt_dir(self, ddir: str | None, added_rows: int,
                   schema: T.StructType, partition_unit: str = "",
@@ -500,7 +533,8 @@ class IcepackTable:
 
     def overwrite(self, df: DataFrame, partition_unit: str = "",
                   ts_col: str = "timestamp", op: str = "overwrite",
-                  extra_meta: dict | None = None) -> dict:
+                  extra_meta: dict | None = None,
+                  require_parent_meta: dict | None = None) -> dict:
         prev = self.current_snapshot()
         ddir, n = self._write_data(df, partition_unit, ts_col)
         snap = {
@@ -518,6 +552,8 @@ class IcepackTable:
         if extra_meta:
             for k, v in extra_meta.items():
                 snap.setdefault(k, v)
+        if require_parent_meta:
+            snap["_require_parent_meta"] = require_parent_meta
         try:
             self._commit(snap)
         except CommitConflict:
@@ -854,7 +890,27 @@ class IcepackTable:
                     continue
                 if name in live:
                     continue
-                if now - os.path.getmtime(full) < older_than_sec:
+                # Age by the NEWEST mtime anywhere in the dir tree, not the
+                # top-level dir: a partitioned parquet write touches only
+                # subdirs/files after the initial mkdir, so a long-running
+                # in-flight writer's top-level mtime can be arbitrarily
+                # stale while the write is still making progress.
+                newest = os.path.getmtime(full)
+                for root, _dirs, files in os.walk(full):
+                    for entry in files:
+                        try:
+                            m = os.path.getmtime(os.path.join(root, entry))
+                        except OSError:
+                            continue
+                        if m > newest:
+                            newest = m
+                    try:
+                        m = os.path.getmtime(root)
+                    except OSError:
+                        continue
+                    if m > newest:
+                        newest = m
+                if now - newest < older_than_sec:
                     kept_young += 1
                     continue
                 shutil.rmtree(full, ignore_errors=True)
@@ -966,8 +1022,19 @@ class IcepackTable:
                 f"table {self.name}: non-append snapshot(s) in range: "
                 + ", ".join(f"{s['snapshot_id']}={s['op']}" for s in bad)
             )
-        base = set(self.snapshot(after_snapshot_id)["data_dirs"]) \
-            if after_snapshot_id is not None else set()
+        if after_snapshot_id is not None:
+            # The checkpoint snapshot itself may have been expired even when
+            # every LATER snapshot in the walk is live (keep_last boundary) —
+            # that is still "cannot read incrementally", not a crash.
+            try:
+                base = set(self.snapshot(after_snapshot_id)["data_dirs"])
+            except FileNotFoundError as e:
+                raise IncrementalReadError(
+                    f"table {self.name}: checkpoint snapshot "
+                    f"{after_snapshot_id} expired — full recompute required"
+                ) from e
+        else:
+            base = set()
         to_snap = chain[-1]
         new_dirs = [d for d in to_snap["data_dirs"] if d not in base]
         schema = T.StructType.fromJson(json.loads(to_snap["schema"]))

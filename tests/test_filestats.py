@@ -504,6 +504,9 @@ class TestOrphanGC:
         with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
             fh.write("x")
         old = _time.time() - 7200
+        # age the WHOLE tree: GC ages by the newest mtime anywhere in
+        # the dir, so a fresh file inside keeps the dir alive
+        _os.utime(os.path.join(orphan, "junk.parquet"), (old, old))
         _os.utime(orphan, (old, old))
         fresh_orphan = os.path.join(t.data, "_s=cafebabe")
         _os.makedirs(fresh_orphan)
