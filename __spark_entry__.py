@@ -1319,8 +1319,44 @@ def _wrap_utc(fn: Callable) -> Callable:
     return wrapped
 
 
+def _driver_order(names: list[str]) -> list[str]:
+    """Rotation policy (COVERAGE.md §driver-gate): the driver verifies
+    only the FIRST 50 `queries()` entries per round, and the registry
+    has outgrown that cap. Order queries WITHOUT a fully-green row in
+    the most recent CORRECTNESS_r*.json artifact first (canonical
+    order preserved within each group), so every query earns a green
+    driver row within two consecutive rounds no matter how the
+    registry grows. Deterministic given the committed artifacts; falls
+    back to canonical order when no artifact exists."""
+    import glob
+    import json as _json
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r0*(\d+)", os.path.basename(p)).group(1)),
+    )
+    covered: set[str] = set()
+    if arts:
+        try:
+            with open(arts[-1]) as fh:
+                rows = _json.load(fh)
+            covered = {
+                k for k, v in rows.items()
+                if isinstance(v, dict) and v.get("rows_match")
+                and v.get("schema_match")
+                and (v.get("hash_match") in (True, None))
+            }
+        except (OSError, ValueError):
+            covered = set()
+    return [n for n in names if n not in covered] + \
+           [n for n in names if n in covered]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap_utc(fn) for name, fn in QUERIES.items()}
+    order = _driver_order(list(QUERIES))
+    return {name: _wrap_utc(QUERIES[name]) for name in order}
 
 
 # ---------------------------------------------------------------------------

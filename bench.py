@@ -222,6 +222,19 @@ def main() -> None:
     shutil.rmtree(fs_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Per-round detail (loadavg + per-query times for every round) goes to a
+    # SIDECAR file and an earlier stdout line — the driver tail-captures
+    # stdout and parses only the FINAL line, which must stay compact (r4's
+    # artifact was front-truncated and unparseable because the detail rode
+    # the last line).
+    detail = {"bench_rounds": ROUNDS, "rounds": rounds_meta}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_rounds.json"), "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass
+    print("BENCH_ROUNDS_DETAIL " + json.dumps(detail))
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -231,7 +244,6 @@ def main() -> None:
         "cpus": CPUS,
         "bench_rounds": ROUNDS,
         "per_query_min_of_rounds": True,
-        "rounds": rounds_meta,
         **extras,
     }))
 

@@ -726,15 +726,19 @@ def embedding_dup_pairs(
     """Semantic near-dups: random-hyperplane LSH prefilter + exact
     cosine verify. Hyperplanes are derived deterministically from the
     seed via hash-based pseudo-gaussians (sum of 4 scaled uniforms) —
-    reproducible across runs with no stored model. Pass dim explicitly
-    when known (schema metadata / config) — the fallback probes one
-    row at PLAN time, a driver-side action worth avoiding in
-    composed pipelines."""
+    reproducible across runs with no stored model. `dim` is REQUIRED:
+    plan construction must never run a driver-side action, so the
+    caller supplies the vector width from its schema metadata, table
+    property (icepack `extra_meta`), or config."""
     from swarm_spark.operators.similarity import cosine, rhp_signature
 
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if dim is None:
-        dim = len(base.select("_v").first()["_v"])
+        raise ValueError(
+            "embedding_dup_pairs: dim is required — pass the embedding "
+            "width from schema metadata / a table property; probing a row "
+            "at plan time is a driver-side action and was removed"
+        )
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     sig = rhp_signature(F.col("_v"), dim, n_planes, seed)
     banded = base.withColumn("_bucket", sig)
     a, b = banded.alias("a"), banded.alias("b")

@@ -12,8 +12,12 @@ number of jobs:
   * `unique` rides the same aggregate as count − approx-free exact
     countDistinct (the one shuffle a uniqueness proof fundamentally
     needs — it moves distinct key tuples, not rows);
-  * `referential` is a broadcast-friendly left-anti count against the
-    referenced keys (one job per referenced relation).
+  * `referential` is ONE job per referenced (relation, key) — a
+    left-outer join against the distinct referenced keys feeding a
+    single aggregate that computes checked + violations together, and
+    multiple referential rules probing the SAME dimension key (e.g.
+    two fact columns referencing one id column) batch into that one
+    job via a rule-tagged probe union.
 
 Every output is an integer count, so the oracle comparison is exact.
 `matches` patterns must stay in the Java∩RE2∩DuckDB-safe regex subset
@@ -61,7 +65,8 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
     spark = df.sparkSession
     aggs: list = [F.count(F.lit(1)).alias("_n")]
     row_rules: list[tuple[str, str]] = []  # (rule, target) in agg order
-    extra_jobs: list[tuple[str, str, DataFrame]] = []
+    # (id(other), other_col, probe_dtype) -> [(probe_col, other_df), ...]
+    ref_groups: dict[tuple, list] = {}
 
     for rule in rules:
         kind = rule[0]
@@ -137,13 +142,13 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
             row_rules.append(("matches", col))
         elif kind == "referential":
             col, other, other_col = rule[1], rule[2], rule[3]
-            probe = df.select(F.col(col)).filter(F.col(col).isNotNull())
-            missing = probe.join(
-                other.select(F.col(other_col).alias(col)).distinct(),
-                col,
-                "left_anti",
-            )
-            extra_jobs.append(("referential", col, (probe, missing)))
+            # batch rules probing the same (relation, key, probe type)
+            # into one join job; the probe dtype guards the union
+            dtype = dict(df.dtypes).get(col)
+            if dtype is None:
+                raise ValueError(f"referential rule: no column {col!r} in frame")
+            ref_groups.setdefault((id(other), other_col, dtype), []) \
+                .append((col, other))
         else:
             _unsupported(rule)
 
@@ -153,10 +158,32 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
         for i, (kind, target) in enumerate(row_rules):
             v, c = int(agg_row[f"_v{i}"]), int(agg_row[f"_c{i}"])
             rows.append((kind, target, c, v, v == 0))
-    for kind, target, (probe, missing) in extra_jobs:
-        c = probe.count()
-        v = missing.count()
-        rows.append((kind, target, int(c), int(v), v == 0))
+    for (_oid, other_col, _dt), members in ref_groups.items():
+        other = members[0][1]
+        probes = None
+        for rid, (col, _) in enumerate(members):
+            p = (df.select(F.lit(rid).alias("_rid"),
+                           F.col(col).alias("_k"))
+                 .filter(F.col("_k").isNotNull()))
+            probes = p if probes is None else probes.unionByName(p)
+        dim = (other.select(F.col(other_col).alias("_k"))
+               .filter(F.col("_k").isNotNull()).distinct()
+               .withColumn("_hit", F.lit(1)))
+        # ONE job: checked and violations come out of the same agg over
+        # a single left-outer join (dim keys are distinct, so the join
+        # never multiplies probe rows)
+        got = (probes.join(dim, "_k", "left")
+               .groupBy("_rid")
+               .agg(F.count(F.lit(1)).alias("_checked"),
+                    F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                     .alias("_violations"))
+               .collect())
+        by_rid = {r["_rid"]: r for r in got}
+        for rid, (col, _) in enumerate(members):
+            r = by_rid.get(rid)
+            c = int(r["_checked"]) if r is not None else 0
+            v = int(r["_violations"]) if r is not None else 0
+            rows.append(("referential", col, c, v, v == 0))
     out = spark.createDataFrame(
         rows,
         "rule string, target string, checked bigint, violations bigint, passed boolean",

@@ -136,3 +136,42 @@ class TestValidate:
         # AQE may report a fixed number of job ids per action, but the
         # count must NOT grow with the rule list
         assert many == few <= 2
+
+    def test_referential_rules_fused_one_job_per_dim(self, spark, messy, dim):
+        """Referential rules cost ONE job per referenced (relation,
+        key): checked + violations come from a single agg over one
+        left-outer join, and multiple rules probing the same dimension
+        key batch into that one job (2 rules vs same dim ⇒ no more
+        jobs than 1 rule)."""
+        sc = spark.sparkContext
+
+        def jobs_for(rules, tag):
+            sc.setJobGroup(f"jg-ref-{tag}", tag)
+            try:
+                rep = _as_map(validate(messy, rules))
+            finally:
+                sc.setJobGroup(None, None)
+            return rep, len(sc.statusTracker().getJobIdsForGroup(f"jg-ref-{tag}"))
+
+        rep1, one = jobs_for([("referential", "fk", dim, "k")], "one")
+        assert rep1[("referential", "fk")]["violations"] == 1  # u9
+        assert rep1[("referential", "fk")]["checked"] == 4
+
+        # second rule against the SAME dim key (cat column as fake fk)
+        rep2, two = jobs_for(
+            [("referential", "fk", dim, "k"),
+             ("referential", "cat", dim, "k")],
+            "two",
+        )
+        assert rep2[("referential", "fk")]["violations"] == 1
+        assert rep2[("referential", "cat")]["checked"] == 4  # non-null cats
+        assert rep2[("referential", "cat")]["violations"] == 4  # none match
+        assert two == one  # batched: same job count as a single rule
+
+    def test_referential_empty_probe(self, spark, dim):
+        """A probe column that is entirely NULL checks 0 rows and
+        passes (no row in the grouped agg for that rule id)."""
+        df = spark.createDataFrame([(None,), (None,)], "fk string")
+        rep = _as_map(validate(df, [("referential", "fk", dim, "k")]))
+        r = rep[("referential", "fk")]
+        assert (r["checked"], r["violations"], r["passed"]) == (0, 0, True)

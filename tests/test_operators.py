@@ -158,7 +158,10 @@ class TestEmbeddingOps:
         # duplicate 10 vectors under new ids → must be found at cos≈1
         dup = embs.limit(10).withColumn("vec_id", F.col("vec_id") + 100000)
         both = embs.union(dup)
-        pairs = embedding_dup_pairs(both, threshold=0.999).collect()
+        import pytest as _pt
+        with _pt.raises(ValueError, match="dim is required"):
+            embedding_dup_pairs(both, threshold=0.999)  # no plan-time probe
+        pairs = embedding_dup_pairs(both, threshold=0.999, dim=64).collect()
         found = {(r.id_a, r.id_b) for r in pairs}
         assert all((i, i + 100000) in found for i in range(10))
 
