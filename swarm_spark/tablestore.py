@@ -107,38 +107,49 @@ class IcepackTable:
     # a generous safety margin without wedging recovery.
     ADOPT_GRACE_SEC = 1.0
 
-    def __init__(self, root: str, name: str):
+    def __init__(self, root: str, name: str, store=None):
         self.name = name
         self.path = os.path.join(root, name)
         self.meta = os.path.join(self.path, "_meta")
         self.data = os.path.join(self.path, "data")
         os.makedirs(self.meta, exist_ok=True)
         os.makedirs(self.data, exist_ok=True)
+        # Snapshot metadata goes through a pluggable store (metastore.py):
+        # PosixMetaStore (default, local fs) or CASMetaStore (conditional-
+        # put object-store semantics). Data files are parquet on disk
+        # either way — only pointer/claim atomicity differs.
+        if store is None:
+            from swarm_spark.metastore import PosixMetaStore
+
+            store = PosixMetaStore(self.meta)
+        self.store = store
 
     # -- metadata ----------------------------------------------------
     def _current_id(self) -> int | None:
-        try:
-            with open(os.path.join(self.meta, "CURRENT")) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return None
+        return self.store.current_id()
 
     def _snap_path(self, sid: int) -> str:
+        # kept for the Posix default (tests/tools plant claim files);
+        # store-agnostic code should use store.plant_claim instead
         return os.path.join(self.meta, f"snap-{sid:012d}.json")
 
     def current_snapshot(self) -> dict | None:
         sid = self._current_id()
         if sid is None:
             return None
-        with open(self._snap_path(sid)) as fh:
-            return json.load(fh)
+        snap = self.store.read_snap(sid)
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.name}: CURRENT={sid} but snapshot is missing"
+            )
+        return snap
 
     def snapshots(self) -> list[dict]:
         out = []
-        for fn in sorted(os.listdir(self.meta)):
-            if fn.startswith("snap-") and fn.endswith(".json"):
-                with open(os.path.join(self.meta, fn)) as fh:
-                    out.append(json.load(fh))
+        for sid in self.store.list_sids():
+            snap = self.store.read_snap(sid)
+            if snap is not None:
+                out.append(snap)
         return out
 
     def exists(self) -> bool:
@@ -210,7 +221,11 @@ class IcepackTable:
                 snap["parent"] = cur
                 if parent_snap is not None and snap["op"] == "append":
                     prev_dirs = parent_snap["data_dirs"]
-                    new_only = [d for d in snap["data_dirs"] if d not in base_dirs]
+                    # `not in prev_dirs` is belt-and-braces against the
+                    # object-store adoption edge where our payload was
+                    # committed by a displaced owner: never double-add
+                    new_only = [d for d in snap["data_dirs"]
+                                if d not in base_dirs and d not in prev_dirs]
                     snap["data_dirs"] = prev_dirs + new_only
                     # re-anchor the base so a SECOND rebase doesn't
                     # re-add the first rebase's dirs (double-count),
@@ -224,118 +239,40 @@ class IcepackTable:
                 continue
             sid = (cur or 0) + 1
             snap["snapshot_id"] = sid
-            tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as fh:
-                json.dump(snap, fh)
-            # Hold an exclusive flock on OUR inode for the whole
-            # claim→advance→verify window. Contenders test this lock
-            # before adopting (_adopt_orphan), so a stalled-but-LIVE
-            # owner can never be mistaken for a dead one — the lock
-            # vanishes exactly when the owner process does. (Advisory
-            # flock: correct on the local/posix fs this table format
-            # targets; an object-store deployment uses the catalog
-            # service's conditional puts instead.)
-            import fcntl
-
-            my_fd = os.open(tmp, os.O_RDONLY)
-            fcntl.flock(my_fd, fcntl.LOCK_EX)  # uncontended: private inode
-            try:
-                try:
-                    os.link(tmp, self._snap_path(sid))  # exclusive claim
-                    os.remove(tmp)
-                except FileExistsError:
-                    claim_fails += 1
-                    # A claim is only an ORPHAN if its writer died
-                    # between claiming the snap file and advancing
-                    # CURRENT. Gate adoption on (a) a real grace period
-                    # (file age), (b) the owner's flock being free, and
-                    # (c) name/inode + CURRENT re-checks under our lock.
-                    try:
-                        claim_age = time.time() - os.path.getmtime(self._snap_path(sid))
-                    except OSError:
-                        claim_age = 0.0
-                    if not (
-                        claim_fails >= 20
-                        and claim_age >= self.ADOPT_GRACE_SEC
-                        and self._current_id() == cur
-                        and self._adopt_orphan(sid, tmp, cur)
-                    ):
-                        os.remove(tmp)
-                        # back off exponentially once contention is
-                        # sustained: a flat 5 ms x 200 budget (~1 s)
-                        # would expire just as ADOPT_GRACE_SEC (1 s)
-                        # makes a dead writer's claim adoptable — the
-                        # capped ramp keeps total wait (~15 s) far past
-                        # the grace window while staying snappy in the
-                        # common quick-contention case
-                        time.sleep(
-                            0.005 * min(2.0 ** max(0, (claim_fails - 20) // 4), 20.0)
-                        )
-                        continue
-                    # adopted: `tmp`'s inode (still flocked by us) now
-                    # owns the claim name
-                tmp2 = os.path.join(self.meta, f"CURRENT.tmp-{uuid.uuid4().hex}")
-                with open(tmp2, "w") as fh:
-                    fh.write(str(sid))
-                os.replace(tmp2, os.path.join(self.meta, "CURRENT"))
-                # Post-advance verification (defense in depth): if the
-                # claim name no longer carries OUR token, the commit is
-                # someone else's — retreat into the retry loop
-                # (cur==sid ≠ parent → rebase re-adds our dirs).
-                try:
-                    with open(self._snap_path(sid)) as fh:
-                        committed = json.load(fh)
-                except (OSError, ValueError):
-                    committed = {}
-                if committed.get("_writer") == writer_token:
-                    return sid
-                claim_fails = 0
+            # Claim/advance/verify delegate to the metadata store
+            # (metastore.py): PosixMetaStore = link-claim + flock-fenced
+            # adoption + replace-advance; CASMetaStore = conditional-put
+            # claim + value-CAS advance (the object-store deployment).
+            # Adoption is gated HERE on sustained contention plus the
+            # claim's age exceeding the grace window — a claim is only
+            # an ORPHAN if its writer died between claiming and
+            # advancing CURRENT.
+            claim_age = self.store.claim_age(sid)
+            adopt = (
+                claim_fails >= 20
+                and claim_age is not None
+                and claim_age >= self.ADOPT_GRACE_SEC
+            )
+            outcome = self.store.try_commit(sid, snap, cur, adopt)
+            if outcome == "committed":
+                return sid
+            if outcome == "contended":
+                claim_fails += 1
+                # back off exponentially once contention is sustained:
+                # a flat 5 ms x 200 budget (~1 s) would expire just as
+                # ADOPT_GRACE_SEC (1 s) makes a dead writer's claim
+                # adoptable — the capped ramp keeps total wait (~15 s)
+                # far past the grace window while staying snappy in the
+                # common quick-contention case
+                time.sleep(
+                    0.005 * min(2.0 ** max(0, (claim_fails - 20) // 4), 20.0)
+                )
                 continue
-            finally:
-                os.close(my_fd)  # releases the flock
+            # "lost": CURRENT advanced or our claim changed hands —
+            # re-read and rebase (cur==sid != parent -> dirs re-added)
+            claim_fails = 0
+            continue
         raise RuntimeError(f"commit contention on table {self.name}")
-
-    def _adopt_orphan(self, sid: int, tmp: str, cur: int | None) -> bool:
-        """Take over a claimed-but-unadvanced snap file whose owner
-        died mid-commit. Safe because of three checks done while
-        HOLDING the claim inode's flock:
-
-          1. the non-blocking flock itself succeeded — a LIVE owner
-             holds its lock from before the claim is published until
-             after it verifies its advance, so acquirable ⇒ owner dead
-             or finished;
-          2. finished owners have advanced CURRENT ⇒ the
-             _current_id() == cur re-check fails ⇒ no adoption;
-          3. the claim NAME still refers to the inode we locked
-             (fstat/stat ino match) — a previous adopter's replacement
-             cannot be clobbered, and nobody else can replace it while
-             we hold its lock (adoption requires this same lock).
-
-        On True, `tmp` (the caller's flocked inode) has been renamed
-        over the claim path and the caller proceeds as owner."""
-        import fcntl
-
-        path = self._snap_path(sid)
-        try:
-            fd = os.open(path, os.O_RDONLY)
-        except OSError:
-            return False  # vanished underneath us — retry loop handles it
-        try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                return False  # live owner mid-commit — back off
-            if self._current_id() != cur:
-                return False  # its owner finished; we must rebase
-            try:
-                if os.fstat(fd).st_ino != os.stat(path).st_ino:
-                    return False  # name changed hands since we opened it
-            except OSError:
-                return False
-            os.replace(tmp, path)
-            return True
-        finally:
-            os.close(fd)
 
     def rollback(self, snapshot_id: int) -> bool:
         """Undo a committed snapshot IF it is still CURRENT: point
@@ -352,21 +289,17 @@ class IcepackTable:
         cur = self._current_id()
         if cur != snapshot_id:
             return False
-        with open(self._snap_path(snapshot_id)) as fh:
-            snap = json.load(fh)
+        snap = self.store.read_snap(snapshot_id)
+        if snap is None:
+            return False
         parent = snap["parent"]
-        cur_file = os.path.join(self.meta, "CURRENT")
         if parent is None:
-            os.remove(cur_file)
+            self.store.set_current(None)
             parent_dirs: set = set()
         else:
-            tmp = cur_file + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as fh:
-                fh.write(str(parent))
-            os.replace(tmp, cur_file)
-            with open(self._snap_path(parent)) as fh:
-                parent_dirs = set(json.load(fh)["data_dirs"])
-        os.remove(self._snap_path(snapshot_id))
+            self.store.set_current(parent)
+            parent_dirs = set(self.store.read_snap(parent)["data_dirs"])
+        self.store.delete_snap(snapshot_id)
         for d in snap["data_dirs"]:
             if d not in parent_dirs and os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)
@@ -582,10 +515,7 @@ class IcepackTable:
                 if d not in kept_dirs and os.path.isdir(d):
                     shutil.rmtree(d, ignore_errors=True)
                     removed += 1
-            try:
-                os.remove(self._snap_path(s["snapshot_id"]))
-            except FileNotFoundError:
-                pass  # concurrent expire already removed it
+            self.store.delete_snap(s["snapshot_id"])  # absent = already expired
         return {"expired": len(drop), "data_dirs_removed": removed}
 
     def merge_upsert(self, spark: SparkSession, df: DataFrame, keys: list[str],
@@ -949,8 +879,12 @@ class IcepackTable:
     def snapshot(self, snapshot_id: int) -> dict:
         """Load one snapshot's metadata by id (FileNotFoundError if it
         was expired or rolled back)."""
-        with open(self._snap_path(snapshot_id)) as fh:
-            return json.load(fh)
+        snap = self.store.read_snap(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.name}: no snapshot {snapshot_id}"
+            )
+        return snap
 
     def changes_between(self, after_snapshot_id: int | None,
                         to_snapshot_id: int | None = None) -> list[dict]:
@@ -1083,8 +1017,7 @@ class IcepackTable:
         Timestamp literals: datetime (naive = UTC) or ISO string.
         Files from dirs without a stats sidecar are always scanned."""
         if snapshot_id is not None:
-            with open(self._snap_path(snapshot_id)) as fh:
-                snap = json.load(fh)
+            snap = self.snapshot(snapshot_id)
         else:
             snap = self.current_snapshot()
         if snap is None:
@@ -1125,16 +1058,25 @@ class IcepackTable:
 
 
 class IcepackCatalog:
-    """Directory-of-tables catalog ≙ a BigQuery dataset / Iceberg namespace."""
+    """Directory-of-tables catalog ≙ a BigQuery dataset / Iceberg namespace.
+
+    `store_factory(meta_dir) -> store` selects the snapshot-metadata
+    backend per table (metastore.py): None = PosixMetaStore (local fs);
+    pass `CASMetaStore.for_dir` to run every table's commit protocol on
+    conditional-put object-store semantics."""
 
     supports_adopt = True  # adopt_dir available → single-pass write OK
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, store_factory=None):
         self.root = root
+        self.store_factory = store_factory
         os.makedirs(root, exist_ok=True)
 
     def table(self, name: str) -> IcepackTable:
-        return IcepackTable(self.root, name)
+        store = None
+        if self.store_factory is not None:
+            store = self.store_factory(os.path.join(self.root, name, "_meta"))
+        return IcepackTable(self.root, name, store=store)
 
     def tables(self) -> list[str]:
         return sorted(
