@@ -1198,6 +1198,82 @@ def q_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "quality", "text_md5")
 
 
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (tablestore.delete_where(mode='mor'), the
+    Iceberg v2 delete-file shape): the cow_delete construction and THE
+    SAME ORACLE, but the delete is a metadata-only dir-scoped mask —
+    asserted: zero data dirs rewritten — that read() applies and
+    compact() folds (asserted: post-compact read row-count and content
+    hash equal the masked read, deletes list empty). One oracle, two
+    DML mechanisms — cow pays the rewrite at delete time, mor at
+    compaction; the erasure-queue tradeoff at 100 TB."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(F.col("n_chars") % 7 == 0, F.lit(None).cast("bigint"))
+         .otherwise(F.col("n_chars") % 100).alias("quality"),
+        F.md5("text").alias("text_md5"),
+    )
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    q = (mx - mn + 1) // 4
+    lo, hi = mn + q, mn + 3 * q
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="mordel_wh_")).table("documents")
+    bounds = [mn, lo, mn + 2 * q, hi, mx + 1]
+    for a, b in zip(bounds, bounds[1:]):
+        t.append(docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b)))
+    before_dirs = list(t.current_snapshot()["data_dirs"])
+    snap = t.delete_where(spark, [("doc_id", ">=", lo), ("doc_id", "<", hi),
+                                  ("quality", "<", 30)], mode="mor")
+    if snap["data_dirs"] != before_dirs or snap["op"] != "mor_delete":
+        raise AssertionError(f"mor delete rewrote data: {snap}")
+    if snap["dirs_affected"] > 2:  # outer quartiles must be stat-pruned
+        raise AssertionError(f"dir scoping failed: {snap}")
+    masked = t.read(spark)
+    fp = masked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, quality, text_md5))").alias("h")).first()
+    t.compact(spark)
+    if t.current_snapshot().get("deletes") != []:
+        raise AssertionError("compact did not fold mor masks")
+    folded = t.read(spark)
+    fp2 = folded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, quality, text_md5))").alias("h")).first()
+    if (fp["n"], fp["h"]) != (fp2["n"], fp2["h"]):
+        raise AssertionError(f"fold changed content: {tuple(fp)} vs {tuple(fp2)}")
+    return folded.select("doc_id", "lang", "source", "n_chars",
+                         "quality", "text_md5")
+
+
+def q_erase_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete FILE erasure (tablestore.delete_keys, Iceberg
+    v2 merge-on-read equality deletes): the per-user erasure queue at
+    100 TB — the key set (here: every doc_id with n_chars % 13 == 0)
+    is written ONCE as a small parquet object and anti-join-masked at
+    read; no data rewrite (asserted). The oracle recomputes the same
+    NOT IN over the documents view."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars")
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="erasek_wh_")).table("documents")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (mn + mx) // 2
+    t.append(docs.filter(F.col("doc_id") <= mid))
+    t.append(docs.filter(F.col("doc_id") > mid))
+    before_dirs = list(t.current_snapshot()["data_dirs"])
+    keys = docs.filter(F.col("n_chars") % 13 == 0).select("doc_id")
+    snap = t.delete_keys(spark, keys, ["doc_id"])
+    if snap["data_dirs"] != before_dirs:
+        raise AssertionError(f"equality delete rewrote data: {snap}")
+    return t.read(spark).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write UPDATE end to end (tablestore.update_where), the
     cow_delete construction with SET semantics under test: the same
@@ -1234,6 +1310,8 @@ def q_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cow_delete": q_cow_delete,
+    "mor_delete": q_mor_delete,
+    "erase_keys": q_erase_keys,
     "cow_update": q_cow_update,
     "file_skip": q_file_skip,
     "bm25": q_bm25,
@@ -1677,6 +1755,9 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index path must return EXACTLY what the fresh
     # computation returns — one oracle, two implementations under test
     d["bm25_indexed"] = d["bm25"]
+    # same principle for DML: merge-on-read must read identically to
+    # copy-on-write for the same predicate
+    d["mor_delete"] = d["cow_delete"]
     return d
 
 
@@ -2017,6 +2098,12 @@ def _oracle_sql() -> dict[str, str]:
             WHERE NOT coalesce(
               doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
               AND quality < 30, FALSE)
+        """,
+        "erase_keys": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM documents WHERE n_chars % 13 = 0)
         """,
         "cow_update": """
             WITH d AS (

@@ -233,9 +233,34 @@ class IcepackTable:
                     # the new parent
                     base_dirs = list(prev_dirs)
                     snap["row_count"] = parent_snap.get("row_count", 0) + snap.get("added_rows", 0)
+                    # masks come from whatever the NEW parent carries
+                    snap["deletes"] = list(parent_snap.get("deletes") or [])
                     old = T.StructType.fromJson(json.loads(parent_snap["schema"]))
                     new = T.StructType.fromJson(json.loads(snap["schema"]))
                     snap["schema"] = json.dumps(merge_schemas(old, new).jsonValue())
+                elif parent_snap is not None and snap["op"] == "mor_delete":
+                    # metadata-only delete: rebase over appends — dirs,
+                    # schema, row_count come from the new parent; our
+                    # entries keep their ORIGINAL applies_to (rows
+                    # appended after the delete are out of scope, the
+                    # dir-granular Iceberg sequence-number rule). A
+                    # rewrite in between may have FOLDED or dropped the
+                    # dirs we scoped to — committing over it would make
+                    # the mask a silent no-op, so conflict instead.
+                    parent_ids = {e["id"] for e in parent_snap.get("deletes") or []}
+                    own = [e for e in snap.get("deletes", [])
+                           if e["id"] not in parent_ids]
+                    live = {self._dir_sval(d) for d in parent_snap["data_dirs"]}
+                    for e in own:
+                        if not all(a in live for a in e["applies_to"]):
+                            raise CommitConflict(
+                                f"table {self.name}: rewrite landed during "
+                                f"mor_delete — rescope from new CURRENT"
+                            )
+                    snap["data_dirs"] = list(parent_snap["data_dirs"])
+                    snap["schema"] = parent_snap["schema"]
+                    snap["row_count"] = parent_snap.get("row_count", 0)
+                    snap["deletes"] = (parent_snap.get("deletes") or []) + own
                 continue
             sid = (cur or 0) + 1
             snap["snapshot_id"] = sid
@@ -296,10 +321,19 @@ class IcepackTable:
         if parent is None:
             self.store.set_current(None)
             parent_dirs: set = set()
+            parent_kf: set = set()
         else:
             self.store.set_current(parent)
-            parent_dirs = set(self.store.read_snap(parent)["data_dirs"])
+            psnap = self.store.read_snap(parent)
+            parent_dirs = set(psnap["data_dirs"])
+            parent_kf = {e.get("key_file")
+                         for e in psnap.get("deletes") or [] if e.get("key_file")}
         self.store.delete_snap(snapshot_id)
+        # equality-delete key files introduced by this snapshot go too
+        for e in snap.get("deletes") or []:
+            kf = e.get("key_file")
+            if kf and kf not in parent_kf and os.path.isdir(kf):
+                shutil.rmtree(kf, ignore_errors=True)
         for d in snap["data_dirs"]:
             if d not in parent_dirs and os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)
@@ -391,6 +425,9 @@ class IcepackTable:
             "parent": prev["snapshot_id"] if prev else None,
             "op": "append",
             "data_dirs": (prev["data_dirs"] if prev else []) + new_dirs,
+            # pending merge-on-read masks survive appends untouched —
+            # the new dirs are outside every entry's applies_to scope
+            "deletes": list(prev.get("deletes") or []) if prev else [],
             "_base_dirs": prev["data_dirs"] if prev else [],
             "schema": json.dumps(schema.jsonValue()),
             "partition_unit": partition_unit,
@@ -509,12 +546,18 @@ class IcepackTable:
         keep = snaps[-keep_last:]
         drop = snaps[:-keep_last]
         kept_dirs = {d for s in keep for d in s["data_dirs"]}
+        kept_kf = {e.get("key_file") for s in keep
+                   for e in s.get("deletes") or [] if e.get("key_file")}
         removed = 0
         for s in drop:
             for d in s["data_dirs"]:
                 if d not in kept_dirs and os.path.isdir(d):
                     shutil.rmtree(d, ignore_errors=True)
                     removed += 1
+            for e in s.get("deletes") or []:
+                kf = e.get("key_file")
+                if kf and kf not in kept_kf and os.path.isdir(kf):
+                    shutil.rmtree(kf, ignore_errors=True)
             self.store.delete_snap(s["snapshot_id"])  # absent = already expired
         return {"expired": len(drop), "data_dirs_removed": removed}
 
@@ -613,6 +656,9 @@ class IcepackTable:
                 "added_rows": 0,
                 "committed_at": time.time(),
                 "snapshot_id": None,
+                # the rewrite read through read() → pending merge-on-read
+                # masks are FOLDED into the new data; none carry forward
+                "deletes": [],
             }
             # compaction rewrites LAYOUT, not content: user metadata
             # riding the snapshot (consumer checkpoints, search-index
@@ -632,26 +678,166 @@ class IcepackTable:
             f"compact on table {self.name} kept losing to concurrent commits"
         )
 
+    def _narrow_deletes(self, pending: list[dict],
+                        kept_dirs: list[str]) -> list[dict]:
+        """Carry pending merge-on-read entries forward across a partial
+        rewrite: an entry keeps only the applies_to dirs that survived
+        (the rewritten dirs had the mask FOLDED into their data);
+        entries left covering nothing drop out. Key files are shared
+        across snapshots — expire/rollback own their lifecycle."""
+        kept_ids = {self._dir_sval(d) for d in kept_dirs}
+        out = []
+        for e in pending:
+            keep = [a for a in e["applies_to"] if a in kept_ids]
+            if keep:
+                out.append({**e, "applies_to": keep})
+        return out
+
+    @staticmethod
+    def _json_safe_predicates(predicates: list[tuple]) -> list[list]:
+        """Predicates ride snapshot JSON: datetime/date literals →
+        ISO strings (filestats accepts both), tuples → lists."""
+        import datetime as _dt
+
+        out = []
+        for p in predicates:
+            q = []
+            for x in p:
+                if isinstance(x, (_dt.datetime, _dt.date)):
+                    q.append(x.isoformat())
+                elif isinstance(x, (tuple, set)):
+                    q.append([v.isoformat() if isinstance(v, (_dt.datetime, _dt.date))
+                              else v for v in x])
+                else:
+                    q.append(x)
+            out.append(q)
+        return out
+
+    def _mor_delete_commit(self, predicates: list[tuple] | None,
+                           key_file: str | None, key_cols: list[str] | None,
+                           max_retries: int = 10) -> dict:
+        """Shared merge-on-read commit for delete_where(mode='mor') and
+        delete_keys: record a delete entry scoped to the CURRENT dirs
+        it can affect — no data touched, O(metadata) per call."""
+        for _ in range(max_retries):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"table {self.name} has no snapshots")
+            if predicates is not None:
+                affected, untouched = filestats.affected_dirs(
+                    snap["data_dirs"], predicates)
+            else:  # arbitrary key sets: stats cannot exclude dirs
+                affected, untouched = list(snap["data_dirs"]), []
+            if not affected:
+                return {**snap, "dirs_affected": 0, "mode": "mor",
+                        "rows_deleted": 0}
+            entry = {
+                "id": uuid.uuid4().hex,
+                "applies_to": [self._dir_sval(d) for d in affected],
+            }
+            if predicates is not None:
+                entry["predicates"] = self._json_safe_predicates(predicates)
+            else:
+                entry["key_file"] = key_file
+                entry["key_cols"] = list(key_cols)
+            new = {
+                "parent": snap["snapshot_id"],
+                "op": "mor_delete",
+                "data_dirs": list(snap["data_dirs"]),
+                "schema": snap["schema"],
+                "partition_unit": snap.get("partition_unit", ""),
+                "ts_col": snap.get("ts_col", "timestamp"),
+                "row_count": snap.get("row_count", 0),  # physical rows
+                "added_rows": 0,
+                "committed_at": time.time(),
+                "snapshot_id": None,
+                "deletes": (snap.get("deletes") or []) + [entry],
+            }
+            for key, val in snap.items():
+                if not key.startswith("_"):
+                    new.setdefault(key, val)
+            try:
+                self._commit(new)
+                new["dirs_affected"] = len(affected)
+                new["mode"] = "mor"
+                return new
+            except CommitConflict:
+                continue  # rewrite landed mid-commit — rescope and retry
+        raise CommitConflict(
+            f"mor delete on table {self.name} kept losing to concurrent rewrites"
+        )
+
+    def delete_keys(self, spark: SparkSession, keys_df: DataFrame,
+                    key_cols: list[str], max_retries: int = 10) -> dict:
+        """Equality-delete FILE (Iceberg v2's merge-on-read equality
+        deletes): write the key tuples once as a small parquet object,
+        record it in the snapshot, and read() anti-joins it
+        (broadcast) against the dirs that existed at commit time.
+        THE erasure-queue shape at 100 TB: each call costs
+        O(|keys| + metadata) instead of a data rewrite; compact() or a
+        later cow DML folds the mask into data. NULL keys never match
+        (SQL semantics)."""
+        schema = self.schema()
+        if schema is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        have = {f.name for f in schema.fields}
+        missing = [c for c in key_cols if c not in have]
+        if missing:
+            raise ValueError(
+                f"delete_keys: column(s) {missing} not in table schema")
+        os.makedirs(os.path.join(self.path, "_deletes"), exist_ok=True)
+        kdir = os.path.join(self.path, "_deletes", uuid.uuid4().hex)
+        keys_df.select(*key_cols).distinct().coalesce(1).write.parquet(kdir)
+        try:
+            return self._mor_delete_commit(
+                predicates=None, key_file=kdir, key_cols=key_cols,
+                max_retries=max_retries)
+        except Exception:
+            import shutil
+
+            shutil.rmtree(kdir, ignore_errors=True)
+            raise
+
     def delete_where(self, spark: SparkSession, predicates: list[tuple],
-                     max_retries: int = 10) -> dict:
-        """Copy-on-write DELETE with dir-level pruning (the Iceberg
-        copy-on-write delete shape): rows matching the conjunctive
-        `predicates` (same forms as read(prune=...)) are removed.
-        Data dirs whose file stats PROVE no row can match are carried
-        into the new snapshot UNTOUCHED — only the affected dirs are
-        rewritten. On a time/cluster-organized table a targeted delete
-        (GDPR erasure, bad-batch excision) therefore rewrites a sliver
-        of the data, not the table. Keep semantics are SQL DELETE's:
+                     max_retries: int = 10, mode: str = "cow") -> dict:
+        """DELETE rows matching the conjunctive `predicates` (same
+        forms as read(prune=...)). Keep semantics are SQL DELETE's:
         rows where the predicate is NULL are KEPT.
 
-        Commits op='delete' with the same strictness as compact: a
-        concurrent append aborts the commit (CommitConflict) and the
-        delete recomputes from the new CURRENT, so concurrent rows are
-        never silently dropped. Returns the snapshot; extra keys
-        `dirs_rewritten`/`dirs_untouched`/`rows_deleted` report the
-        pruning."""
+        mode="cow" (default) — copy-on-write with dir-level pruning
+        (the Iceberg copy-on-write delete shape): data dirs whose file
+        stats PROVE no row can match carry into the new snapshot
+        UNTOUCHED; only affected dirs are rewritten. On a
+        time/cluster-organized table a targeted delete (GDPR erasure,
+        bad-batch excision) rewrites a sliver, not the table. Commits
+        op='delete' with compact's strictness: a concurrent append
+        aborts (CommitConflict) and the delete recomputes from the new
+        CURRENT. Pending merge-on-read deletes covering the rewritten
+        dirs are FOLDED by the rewrite; entries covering untouched
+        dirs carry forward narrowed.
+
+        mode="mor" — merge-on-read (Iceberg v2's delete-file shape):
+        NO data is rewritten; the predicate is recorded in the
+        snapshot scoped to the dirs it applies to, read() masks
+        matching rows, and compact()/a later cow rewrite folds the
+        mask into data. O(metadata) per call — the shape for
+        high-frequency targeted deletes (per-user erasure queues)
+        where a rewrite per call would dominate. Commits
+        op='mor_delete', which REBASES over concurrent appends (the
+        new rows are out of scope by construction) and conflicts on
+        concurrent rewrites.
+
+        Returns the snapshot; extra keys `dirs_rewritten` /
+        `dirs_untouched` / `rows_deleted` (cow) or `dirs_affected` /
+        `mode` (mor) report the work done."""
         import shutil
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete_where: mode must be cow|mor, got {mode!r}")
+        if mode == "mor":
+            return self._mor_delete_commit(
+                predicates=predicates, key_file=None, key_cols=None,
+                max_retries=max_retries)
         for _ in range(max_retries):
             snap = self.current_snapshot()
             if snap is None:
@@ -659,10 +845,17 @@ class IcepackTable:
             schema = T.StructType.fromJson(json.loads(snap["schema"]))
             affected, untouched = filestats.affected_dirs(
                 snap["data_dirs"], predicates)
+            pending = snap.get("deletes") or []
             if not affected:  # provably nothing to delete
                 return {**snap, "dirs_rewritten": 0,
                         "dirs_untouched": len(untouched), "rows_deleted": 0}
-            df = self._scan_dirs(spark, affected)
+            df = self._scan_dirs(spark, affected, keep_s=bool(pending))
+            if pending:
+                # fold pending merge-on-read masks into the rewrite —
+                # masked rows must not be resurrected as "survivors"
+                df = self._apply_delete_masks(spark, df, pending)
+                if "_s" in df.columns:
+                    df = df.drop("_s")
             if "_p" in df.columns:
                 df = df.drop("_p")
             cols = [
@@ -697,6 +890,9 @@ class IcepackTable:
                 "added_rows": 0,
                 "committed_at": time.time(),
                 "snapshot_id": None,
+                # mor entries covering only rewritten dirs were folded;
+                # entries still covering untouched dirs carry NARROWED
+                "deletes": self._narrow_deletes(pending, untouched),
             }
             for key, val in snap.items():  # user metadata carries forward
                 if not key.startswith("_"):
@@ -745,7 +941,14 @@ class IcepackTable:
             if not affected:  # provably nothing to update
                 return {**snap, "dirs_rewritten": 0,
                         "dirs_untouched": len(untouched), "rows_updated": 0}
-            df = self._scan_dirs(spark, affected)
+            pending = snap.get("deletes") or []
+            df = self._scan_dirs(spark, affected, keep_s=bool(pending))
+            if pending:
+                # fold pending merge-on-read masks — masked rows must
+                # not be resurrected (or updated) by the rewrite
+                df = self._apply_delete_masks(spark, df, pending)
+                if "_s" in df.columns:
+                    df = df.drop("_s")
             if "_p" in df.columns:
                 df = df.drop("_p")
             df = df.select(*[
@@ -771,6 +974,17 @@ class IcepackTable:
             ddir, n_new = self._write_data(
                 df.select(*cols), snap.get("partition_unit", ""),
                 snap.get("ts_col", "timestamp"))
+            row_count = snap.get("row_count", 0)
+            if pending:
+                # folded masks physically removed rows from the
+                # rewritten dirs — adjust the physical row count
+                sidecars = [filestats.load_dir_stats(d) for d in affected]
+                if all(s and s.get("files") for s in sidecars):
+                    before_aff = sum(
+                        f["rows"] for s in sidecars for f in s["files"].values())
+                else:
+                    before_aff = self._scan_dirs(spark, affected).count()
+                row_count -= before_aff - n_new
             new = {
                 "parent": snap["snapshot_id"],
                 "op": "update",
@@ -778,10 +992,11 @@ class IcepackTable:
                 "schema": snap["schema"],
                 "partition_unit": snap.get("partition_unit", ""),
                 "ts_col": snap.get("ts_col", "timestamp"),
-                "row_count": snap.get("row_count", 0),
+                "row_count": row_count,
                 "added_rows": 0,
                 "committed_at": time.time(),
                 "snapshot_id": None,
+                "deletes": self._narrow_deletes(pending, untouched),
             }
             for key, val in snap.items():  # user metadata carries forward
                 if not key.startswith("_"):
@@ -848,32 +1063,69 @@ class IcepackTable:
         return {"orphans_removed": removed, "orphans_too_young": kept_young}
 
     # -- read ----------------------------------------------------------
-    def _scan_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+    def _scan_dirs(self, spark: SparkSession, dirs: list[str],
+                   keep_s: bool = False) -> DataFrame:
         """ONE partitioned parquet relation over the given data dirs —
         plan depth stays flat no matter how many snapshots contribute
         (manifest-file planning: the snapshot's cumulative dir list IS
         the manifest). Dirs are named `_s=<uuid>`, so with
         basePath=data/ partition discovery sees uniform (_s[, _p])
         levels: `_p` pruning works across every snapshot in one scan,
-        `_s` is dropped below. mergeSchema resolves evolution (missing
-        columns → null). Fallback to per-dir unionByName covers legacy
-        layouts / mixed partition depths."""
+        `_s` is dropped below (kept when merge-on-read delete masks
+        need to scope rows to the dirs a delete applies to).
+        mergeSchema resolves evolution (missing columns → null).
+        Fallback to per-dir unionByName covers legacy layouts / mixed
+        partition depths."""
         try:
             df = (
                 spark.read.option("mergeSchema", "true")
                 .option("basePath", self.data)
                 .parquet(*dirs)
             )
-            if "_s" in df.columns:
+            if "_s" in df.columns and not keep_s:
                 df = df.drop("_s")
         except Exception:
-            parts = [
-                spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
-                for d in dirs
-            ]
+            parts = []
+            for d in dirs:
+                p = spark.read.option("mergeSchema", "true") \
+                    .option("basePath", d).parquet(d)
+                if keep_s and "_s" not in p.columns:
+                    base = os.path.basename(d.rstrip("/"))
+                    sval = base.split("=", 1)[1] if "=" in base else base
+                    p = p.withColumn("_s", F.lit(sval))
+                parts.append(p)
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
+    @staticmethod
+    def _dir_sval(d: str) -> str:
+        """The `_s` partition VALUE for a data dir path (`_s=<uuid>` →
+        `<uuid>`) — the unit merge-on-read deletes are scoped by."""
+        base = os.path.basename(d.rstrip("/"))
+        return base.split("=", 1)[1] if "=" in base else base
+
+    def _apply_delete_masks(self, spark: SparkSession, df: DataFrame,
+                            deletes: list[dict]) -> DataFrame:
+        """Apply pending merge-on-read delete entries to a scan that
+        still carries the `_s` column. Each entry masks rows ONLY in
+        the dirs it applied to at commit time (`applies_to`) — rows
+        appended after the delete are untouched, the dir-granular
+        version of Iceberg v2 sequence-number scoping. SQL DELETE
+        semantics: NULL predicate / NULL key = row kept."""
+        for ent in deletes:
+            applies = F.col("_s").isin(list(ent["applies_to"]))
+            if ent.get("key_file"):
+                keys = (spark.read.parquet(ent["key_file"])
+                        .select(*ent["key_cols"]).distinct()
+                        .withColumn("_kdel", F.lit(1)))
+                df = df.join(F.broadcast(keys), list(ent["key_cols"]), "left")
+                df = df.filter(~(applies & F.col("_kdel").isNotNull())) \
+                       .drop("_kdel")
+            else:
+                pred = filestats.predicate_column(ent["predicates"])
+                df = df.filter(~(applies & F.coalesce(pred, F.lit(False))))
         return df
 
     def snapshot(self, snapshot_id: int) -> dict:
@@ -1032,7 +1284,8 @@ class IcepackTable:
             if not scan:  # every file provably excluded
                 df = spark.createDataFrame([], schema)
                 return filestats.residual_filter(df, prune)
-        df = self._scan_dirs(spark, scan)
+        pending = snap.get("deletes") or []
+        df = self._scan_dirs(spark, scan, keep_s=bool(pending))
         unit = snap.get("partition_unit")
         if unit and ts_between:
             fmt_py = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d",
@@ -1042,6 +1295,10 @@ class IcepackTable:
             lo = _dt.datetime.fromisoformat(ts_between[0]).strftime(fmt_py)
             hi = _dt.datetime.fromisoformat(ts_between[1]).strftime(fmt_py)
             df = df.filter((F.col("_p") >= lo) & (F.col("_p") <= hi))
+        if pending:
+            df = self._apply_delete_masks(spark, df, pending)
+            if "_s" in df.columns:
+                df = df.drop("_s")
         if "_p" in df.columns:
             df = df.drop("_p")
         # project to the evolved table schema (missing columns → null)

@@ -1,0 +1,200 @@
+"""Merge-on-read DELETE (Iceberg v2's delete-file mechanism):
+`delete_where(mode='mor')` records a dir-scoped predicate, read()
+masks, compact()/cow DML folds; `delete_keys` is the equality-delete
+file for erasure queues. Contract under test everywhere: a mor table
+reads IDENTICALLY to the same table after a cow delete."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.tablestore import IcepackCatalog
+
+
+def _mk(spark, tmp_path, name="t"):
+    t = IcepackCatalog(str(tmp_path)).table(name)
+    for lo in (0, 100, 200, 300):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"u{(lo + i) % 7}", float(i)) for i in range(100)],
+            "k bigint, user string, v double").coalesce(1))
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestMorPredicateDelete:
+    def test_read_masks_cow_equivalence(self, spark, tmp_path):
+        """mor read ≡ cow read for the same predicate — no rewrite."""
+        cow = _mk(spark, tmp_path, "cow")
+        mor = _mk(spark, tmp_path, "mor")
+        pred = [("k", ">=", 150), ("k", "<", 250)]
+        before_dirs = list(mor.current_snapshot()["data_dirs"])
+        cow.delete_where(spark, pred)
+        snap = mor.delete_where(spark, pred, mode="mor")
+        assert snap["op"] == "mor_delete" and snap["mode"] == "mor"
+        assert snap["data_dirs"] == before_dirs  # ZERO data rewritten
+        assert snap["dirs_affected"] == 2  # outer quartiles stat-pruned
+        assert _rows(mor.read(spark)) == _rows(cow.read(spark))
+        assert mor.read(spark).count() == 300
+
+    def test_null_predicate_rows_kept(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("n")
+        t.append(spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 50.0)], "k bigint, v double").coalesce(1))
+        t.delete_where(spark, [("v", "<", 10.0)], mode="mor")
+        assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 3]
+
+    def test_post_delete_appends_out_of_scope(self, spark, tmp_path):
+        """Rows appended AFTER the mor delete are untouched even when
+        they match the predicate — dir-granular sequence numbers."""
+        t = _mk(spark, tmp_path)
+        t.delete_where(spark, [("k", "<", 50)], mode="mor")
+        t.append(spark.createDataFrame([(10, "late", 1.0)],
+                                       "k bigint, user string, v double"))
+        got = sorted(r["k"] for r in t.read(spark).filter("k < 50").collect())
+        assert got == [10]  # only the late row survives below 50
+
+    def test_compact_folds_masks(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.delete_where(spark, [("k", ">=", 150), ("k", "<", 250)], mode="mor")
+        before = _rows(t.read(spark))
+        snap = t.compact(spark)
+        assert snap.get("deletes") == []  # folded, none carried
+        assert _rows(t.read(spark)) == before
+        assert t.current_snapshot()["row_count"] == 300  # physical = logical now
+
+    def test_cow_delete_folds_and_narrows(self, spark, tmp_path):
+        """A later cow delete folds pending masks in the dirs it
+        rewrites and carries entries narrowed to surviving dirs —
+        masked rows are never resurrected."""
+        t = _mk(spark, tmp_path)
+        t.delete_where(spark, [("k", ">=", 150), ("k", "<", 250)], mode="mor")
+        # cow-delete a range overlapping ONE of the mor-affected dirs
+        snap = t.delete_where(spark, [("k", ">=", 100), ("k", "<", 160)])
+        # the [100,200) dir was rewritten (mask folded); [200,300)'s
+        # entry carries forward narrowed
+        carried = snap["deletes"]
+        assert len(carried) == 1 and len(carried[0]["applies_to"]) == 1
+        got = sorted(r["k"] for r in t.read(spark).collect())
+        assert got == list(range(0, 100)) + list(range(250, 400))
+
+    def test_update_where_does_not_resurrect(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.delete_where(spark, [("k", ">=", 150), ("k", "<", 250)], mode="mor")
+        t.update_where(spark, [("k", ">=", 100), ("k", "<", 300)],
+                       {"v": F.lit(-1.0)})
+        got = t.read(spark)
+        assert got.count() == 300  # masked rows did not come back
+        assert got.filter("k >= 150 and k < 250").count() == 0
+        assert got.filter("v = -1.0").count() == 100  # 100-149 + 250-299
+
+    def test_time_travel_sees_pre_delete_rows(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        pre = t.current_snapshot()["snapshot_id"]
+        t.delete_where(spark, [("k", "<", 100)], mode="mor")
+        assert t.read(spark, snapshot_id=pre).count() == 400
+        assert t.read(spark).count() == 300
+
+    def test_prune_read_composes_with_masks(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.delete_where(spark, [("k", ">=", 150), ("k", "<", 250)], mode="mor")
+        got = _rows(t.read(spark, prune=[("k", ">=", 100), ("k", "<", 300)]))
+        want = _rows(t.read(spark).filter("k >= 100 and k < 300"))
+        assert got == want
+        assert len(got) == 100  # 100-149 + 250-299
+
+    def test_rebases_over_concurrent_append(self, spark, tmp_path):
+        """A mor delete is metadata-only: it REBASES over a concurrent
+        append (no conflict), and the appended rows stay out of scope."""
+        t = _mk(spark, tmp_path)
+        other = IcepackCatalog(str(tmp_path)).table("t")
+        real = t.current_snapshot
+        state = {"n": 0}
+
+        def snoop():
+            snap = real()
+            if state["n"] == 0:
+                state["n"] = 1
+                other.append(spark.createDataFrame(
+                    [(20, "c", 1.0)], "k bigint, user string, v double"))
+            return snap
+
+        t.current_snapshot = snoop
+        snap = t.delete_where(spark, [("k", "<", 50)], mode="mor")
+        t.current_snapshot = real
+        assert snap["snapshot_id"] == 6  # rebased over sid 5 (the append)
+        got = sorted(r["k"] for r in t.read(spark).filter("k < 50").collect())
+        assert got == [20]
+
+    def test_conflicts_with_concurrent_compact_then_rescopes(
+            self, spark, tmp_path):
+        """A rewrite landing mid-commit would make the mask a silent
+        no-op (scoped dirs gone) — the commit conflicts and the retry
+        rescopes from the new CURRENT."""
+        t = _mk(spark, tmp_path)
+        other = IcepackCatalog(str(tmp_path)).table("t")
+        real = t.current_snapshot
+        state = {"n": 0}
+
+        def snoop():
+            snap = real()
+            if state["n"] == 0:
+                state["n"] = 1
+                other.compact(spark)
+            return snap
+
+        t.current_snapshot = snoop
+        t.delete_where(spark, [("k", "<", 50)], mode="mor")
+        t.current_snapshot = real
+        assert t.read(spark).count() == 350
+        assert t.read(spark).filter("k < 50").count() == 0
+
+
+class TestEqualityDeleteKeys:
+    def test_erasure_by_key_file(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        keys = spark.createDataFrame(
+            [("u3",), ("u5",)], "user string")
+        snap = t.delete_keys(spark, keys, ["user"])
+        assert snap["op"] == "mor_delete"
+        got = t.read(spark)
+        assert got.filter(F.col("user").isin("u3", "u5")).count() == 0
+        want_gone = 400 - got.count()
+        # exactly the u3/u5 rows vanished, nothing else
+        assert want_gone > 0
+        full = _mk(spark, tmp_path, "ref").read(spark)
+        assert want_gone == full.filter(F.col("user").isin("u3", "u5")).count()
+
+    def test_unknown_key_column_raises(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="not in table schema"):
+            t.delete_keys(spark, spark.createDataFrame([(1,)], "zz bigint"),
+                          ["zz"])
+
+    def test_compact_folds_and_expire_gcs_key_file(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        keys = spark.createDataFrame([("u1",)], "user string")
+        snap = t.delete_keys(spark, keys, ["user"])
+        kf = snap["deletes"][-1]["key_file"]
+        assert os.path.isdir(kf)
+        before = _rows(t.read(spark))
+        t.compact(spark)
+        assert _rows(t.read(spark)) == before
+        assert t.current_snapshot().get("deletes") == []
+        t.expire_snapshots(keep_last=1)
+        assert not os.path.isdir(kf)  # no live snapshot references it
+
+    def test_rollback_removes_key_file(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        snap = t.delete_keys(spark, spark.createDataFrame([("u1",)],
+                                                          "user string"),
+                             ["user"])
+        kf = snap["deletes"][-1]["key_file"]
+        assert t.rollback(snap["snapshot_id"]) is True
+        assert not os.path.isdir(kf)
+        assert t.read(spark).count() == 400  # masks gone with the snapshot
