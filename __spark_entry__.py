@@ -355,6 +355,37 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_quantized(assigned, cents, q, k=10, n_probe=8)
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PERSISTED index (operators/ann_index.py):
+    build over the first half of the corpus, extend_ann_index over the
+    second (history never re-assigned — append asserted), then query
+    with n_probe = n_lists so the answer is EXACTLY brute force and
+    shares ann_ivf's oracle verbatim — one oracle, two
+    implementations, like bm25/bm25_indexed. The probe reads the
+    stored table via read(prune=[("_list","in",probe)]): file
+    skipping IS the inverted-file structure."""
+    import tempfile
+
+    from swarm_spark.operators.ann_index import (
+        ann_topk_from_index,
+        build_ann_index,
+        extend_ann_index,
+    )
+    from swarm_spark.tablestore import IcepackCatalog
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mid = embs.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="annidx_wh_")).table("ann")
+    build_ann_index(embs.filter(F.col("vec_id") <= mid), t, n_centroids=8)
+    dirs_before = len(t.current_snapshot()["data_dirs"])
+    extend_ann_index(embs.filter(F.col("vec_id") > mid), t)
+    if len(t.current_snapshot()["data_dirs"]) != dirs_before + 1:
+        raise AssertionError("extend was not a pure append")
+    q = [r[0] for r in embs.filter(F.col("vec_id") == 1)
+         .select(F.explode("embedding")).collect()]
+    return ann_topk_from_index(spark, t, q, k=10, n_probe=8)
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per nation (window rank over broadcast
     join) — the top-k-per-group OLAP pattern."""
@@ -1349,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "media_features": q_media_features,
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
@@ -1758,6 +1790,9 @@ def oracle_sql() -> dict[str, str]:
     # same principle for DML: merge-on-read must read identically to
     # copy-on-write for the same predicate
     d["mor_delete"] = d["cow_delete"]
+    # and for ANN: the persisted, incrementally-extended IVF index must
+    # answer full-probe queries exactly like the per-run pipeline
+    d["ann_ivf_indexed"] = d["ann_ivf"]
     return d
 
 
