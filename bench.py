@@ -158,12 +158,39 @@ def main() -> None:
         q.awaitTermination()
         return q.lastProgress
 
+    def j_stateful(i: int):
+        # custom stateful operator (applyInPandasWithState): cumulative
+        # per-conversation counters over the same transcripts stream
+        from pyspark.sql import functions as F
+
+        from swarm_spark.streaming.ingest import stream_transcripts
+        from swarm_spark.streaming.stateful import conversation_progress
+
+        prev = results.get("stateful_progress")
+        if prev:
+            shutil.rmtree(prev, ignore_errors=True)  # previous round's output
+        out = tempfile.mkdtemp(prefix="swarm_bst_")  # kept for the
+        # post-run equality check; cleaned after it
+        prog = conversation_progress(
+            stream_transcripts(spark, t_path, max_files_per_trigger=8))
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn("_epoch", F.lit(epoch_id)) \
+                .write.mode("append").parquet(out)
+
+        q = (prog.writeStream.outputMode("update").foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", _fresh("swarm_bstck_")).start())
+        q.awaitTermination()
+        return out
+
     jobs = {
         "ingest_e2e": j_ingest_e2e,
         "route_agg": lambda i: pipe_ro.aggregate(pipe_ro.routed(t)).count(),
         "gen_route_1m": lambda i: pipe_ro.aggregate(pipe_ro.routed(gen_in)).count(),
         "ingest_1m_e2e": j_ingest_1m,
         "streaming_ingest": j_streaming,
+        "stateful_progress": j_stateful,
         "tpch_q1": lambda i: e.q_tpch_q1(spark, SF_DIR).collect(),
         "broadcast_join": lambda i: e.q_broadcast_join(spark, SF_DIR).collect(),
         "curation_pipeline": lambda i: e.q_curation(spark, SF_DIR).count(),
@@ -205,6 +232,32 @@ def main() -> None:
     extras["ingest_1m_turns_per_sec"] = round(GEN_ROWS / timings["ingest_1m_e2e"], 1)
     extras["ingest_1m_routed_rows"] = results["ingest_1m_e2e"].routed_rows
     extras["streaming_turns_per_sec"] = round(n_t / timings["streaming_ingest"], 1)
+    # stateful-operator validation (outside the timed region): the last
+    # update-mode row per conversation must equal the batch aggregate —
+    # tuple-level, every conversation
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    st_out = results["stateful_progress"]
+    w = Window.partitionBy("conv_id").orderBy(_F.desc("_epoch"))
+    final = (spark.read.parquet(st_out)
+             .withColumn("_rk", _F.row_number().over(w))
+             .filter("_rk = 1")
+             .select("conv_id", "turns_total", "errors_total",
+                     "tool_calls_total", "max_turn_idx"))
+    ref = t.groupBy("conv_id").agg(
+        _F.count(_F.lit(1)).alias("turns_total"),
+        _F.sum(_F.col("text").rlike("ERR-[0-9]{4}").cast("long")).alias("errors_total"),
+        _F.sum(_F.col("text").contains("CALL tool=").cast("long")).alias("tool_calls_total"),
+        _F.max("turn_idx").alias("max_turn_idx"))
+    n_convs = ref.count()
+    mism = final.exceptAll(ref).count() + ref.exceptAll(final).count()
+    if mism:
+        raise AssertionError(f"stateful progress != batch aggregate: {mism} rows")
+    shutil.rmtree(st_out, ignore_errors=True)
+    extras["stateful_convs"] = n_convs
+    extras["stateful_turns_per_sec"] = round(n_t / timings["stateful_progress"], 1)
+    extras["stateful_equal_batch"] = True
     extras["curation_docs_kept"] = int(results["curation_pipeline"])
     extras["curation_docs_per_sec"] = round(
         results["curation_pipeline"] / timings["curation_pipeline"], 1

@@ -39,7 +39,8 @@ def live_file_count(table) -> int:
 
 
 def erase_batch(spark, warehouse: str, batch_id: str,
-                tables: list[str] | None = None) -> dict:
+                tables: list[str] | None = None,
+                mode: str = "cow") -> dict:
     """Excise one ingest batch from every sink (bad-batch rollback
     AFTER later batches have landed, when expire/rollback would lose
     them): delete_where(ingest_id = batch). Because each append lands
@@ -64,9 +65,13 @@ def erase_batch(spark, warehouse: str, batch_id: str,
         if "ingest_id" not in {f.name for f in schema.fields}:
             report[name] = {"skipped": "no ingest_id column"}
             continue
-        s = t.delete_where(spark, [("ingest_id", "=", batch_id)])
-        report[name] = {k: s[k] for k in
-                        ("rows_deleted", "dirs_rewritten", "dirs_untouched")}
+        s = t.delete_where(spark, [("ingest_id", "=", batch_id)], mode=mode)
+        if mode == "mor":
+            report[name] = {"mode": "mor",
+                            "dirs_affected": s.get("dirs_affected", 0)}
+        else:
+            report[name] = {k: s[k] for k in
+                            ("rows_deleted", "dirs_rewritten", "dirs_untouched")}
     return report
 
 
@@ -75,7 +80,9 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
              expire_keep: int = 0, refresh_daily_rollup: bool = False,
              cluster_by: list[str] | None = None,
              gc_orphans_older_than: float | None = None,
-             erase_batch_id: str | None = None) -> dict:
+             erase_batch_id: str | None = None,
+             erase_mode: str = "cow",
+             fold_deletes_above: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from swarm_spark.incremental import refresh_agg
@@ -85,7 +92,8 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
     names = tables or cat.tables()
     report: dict = {"tables": {}}
     if erase_batch_id:
-        report["erased"] = erase_batch(spark, warehouse, erase_batch_id, names)
+        report["erased"] = erase_batch(spark, warehouse, erase_batch_id, names,
+                                       mode=erase_mode)
     for name in names:
         t = cat.table(name)
         if not t.exists():
@@ -101,6 +109,15 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
                 entry["files_after"] = live_file_count(t)
             except CommitConflict:
                 entry["compacted"] = False  # writer won; retry next run
+        if fold_deletes_above is not None:
+            snap = t.current_snapshot()
+            n_pending = len((snap.get("deletes") or [])) if snap else 0
+            if n_pending > fold_deletes_above:
+                try:
+                    t.compact(spark, target_files=target_files)
+                    entry["deletes_folded"] = n_pending
+                except CommitConflict:
+                    entry["deletes_folded"] = 0  # writer won; next run
         if expire_keep:
             entry["expired"] = t.expire_snapshots(keep_last=expire_keep)
         if gc_orphans_older_than is not None:
@@ -135,6 +152,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="excise one ingest batch (delete_where ingest_id=) "
                          "from every table that has the envelope column; "
                          "dir pruning rewrites only that batch's dirs")
+    ap.add_argument("--erase-mode", choices=("cow", "mor"), default="cow",
+                    help="cow: rewrite the batch's dirs now; mor: record a "
+                         "merge-on-read mask (O(metadata)), folded at the "
+                         "next compaction")
+    ap.add_argument("--fold-deletes-above", type=int, default=None,
+                    help="compact any table carrying more than N pending "
+                         "merge-on-read delete entries (folds masks into data)")
     ap.add_argument("--cluster-by", nargs="*", default=None,
                     help="sort-cluster compaction rewrites on these columns "
                          "(columns absent from a table are skipped for it) — "
@@ -154,6 +178,8 @@ def main(argv: list[str] | None = None) -> int:
         cluster_by=args.cluster_by,
         gc_orphans_older_than=args.gc_orphans_older_than,
         erase_batch_id=args.erase_batch,
+        erase_mode=args.erase_mode,
+        fold_deletes_above=args.fold_deletes_above,
     )
     print(json.dumps(report))
     return 0

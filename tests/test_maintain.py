@@ -127,3 +127,32 @@ class TestEraseBatch:
         rep = maintain(spark, str(tmp_path), erase_batch_id="x")
         assert rep["erased"]["s"]["rows_deleted"] == 5
         assert t.read(spark).count() == 5
+
+    def test_erase_mor_then_fold(self, spark, tmp_path):
+        """--erase-mode mor records the batch excision as a
+        merge-on-read mask (zero dirs rewritten), reads hide it
+        immediately, and --fold-deletes-above compacts it into data."""
+        from pyspark.sql import functions as F
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("sink_user")
+        for b in ("b1", "b2", "b3"):
+            t.append(spark.range(0, 10).select(
+                F.col("id").alias("k"), F.lit(b).alias("ingest_id")))
+        dirs_before = list(t.current_snapshot()["data_dirs"])
+
+        rep = maintain(spark, str(tmp_path), erase_batch_id="b2",
+                       erase_mode="mor")
+        assert rep["erased"]["sink_user"] == {"mode": "mor",
+                                              "dirs_affected": 1}
+        t = cat.table("sink_user")
+        assert t.current_snapshot()["data_dirs"] == dirs_before  # no rewrite
+        got = t.read(spark)
+        assert got.count() == 20
+        assert got.filter(F.col("ingest_id") == "b2").count() == 0
+
+        rep = maintain(spark, str(tmp_path), fold_deletes_above=0)
+        assert rep["tables"]["sink_user"]["deletes_folded"] == 1
+        snap = cat.table("sink_user").current_snapshot()
+        assert snap.get("deletes") == []
+        assert cat.table("sink_user").read(spark).count() == 20
