@@ -1305,6 +1305,46 @@ def q_erase_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish gate (swarm_spark/wap.py over tablestore
+    stage/publish): the documents batch is STAGED (invisible), audited
+    against a fused expectation suite over the staged files, and
+    published as a metadata-only adopt — then a poisoned batch
+    (duplicate ids, out-of-range quality) is proven to NEVER become
+    visible (AuditFailed, snapshot unchanged — asserted). The read
+    after both equals the clean batch, which is what the oracle
+    recomputes. The reference's per-source validation counters
+    (pkg/usecase/ingest.go) made transactional at the table layer."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+    from swarm_spark.wap import AuditFailed, write_audit_publish
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars",
+        (F.col("n_chars") % 100).alias("quality"))
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="wap_wh_")).table("documents")
+    rules = [
+        ("not_null", "doc_id"),
+        ("unique", ["doc_id"]),
+        ("range", "quality", 0, 99),
+    ]
+    snap = write_audit_publish(spark, t, docs, rules)
+    if not all(r["passed"] for r in snap["audit"]):
+        raise AssertionError("clean batch must pass the audit")
+    sid = t.current_snapshot()["snapshot_id"]
+    poisoned = docs.limit(50).withColumn("quality", F.lit(-1))
+    try:
+        write_audit_publish(spark, t, poisoned, rules)
+        raise AssertionError("poisoned batch must fail the audit")
+    except AuditFailed:
+        pass
+    if t.current_snapshot()["snapshot_id"] != sid:
+        raise AssertionError("failed audit must leave the table untouched")
+    return t.read(spark).select("doc_id", "lang", "source", "n_chars",
+                                "quality")
+
+
 def q_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write UPDATE end to end (tablestore.update_where), the
     cow_delete construction with SET semantics under test: the same
@@ -1343,6 +1383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cow_delete": q_cow_delete,
     "mor_delete": q_mor_delete,
     "erase_keys": q_erase_keys,
+    "wap_publish": q_wap_publish,
     "cow_update": q_cow_update,
     "file_skip": q_file_skip,
     "bm25": q_bm25,
@@ -2133,6 +2174,11 @@ def _oracle_sql() -> dict[str, str]:
             WHERE NOT coalesce(
               doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
               AND quality < 30, FALSE)
+        """,
+        "wap_publish": """
+            SELECT doc_id, lang, source, n_chars,
+                   n_chars % 100 AS quality
+            FROM documents
         """,
         "erase_keys": """
             SELECT doc_id, lang, source, n_chars

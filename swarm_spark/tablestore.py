@@ -472,7 +472,8 @@ class IcepackTable:
 
     def adopt_dir(self, ddir: str | None, added_rows: int,
                   schema: T.StructType, partition_unit: str = "",
-                  ts_col: str = "timestamp") -> dict:
+                  ts_col: str = "timestamp",
+                  extra_meta: dict | None = None) -> dict:
         """Commit an ALREADY-WRITTEN parquet directory as an append
         snapshot (schema evolution rules identical to append). This is
         the single-pass multi-sink write path: one partitionBy(sink)
@@ -499,7 +500,59 @@ class IcepackTable:
                     shutil.move(ddir, dst)
                 ddir = dst
             filestats.collect_dir_stats(ddir)
-        return self._append_snapshot(ddir, added_rows, schema, partition_unit, ts_col)
+        return self._append_snapshot(ddir, added_rows, schema, partition_unit,
+                                     ts_col, extra_meta=extra_meta)
+
+    # -- write-audit-publish (Iceberg WAP / branch-write pattern) -----
+    def stage(self, df: DataFrame, partition_unit: str = "",
+              ts_col: str = "timestamp") -> dict:
+        """WAP step 1: write the data files WITHOUT advancing CURRENT.
+        Readers cannot see staged data (it is an unreferenced `_s=`
+        dir until published). Returns a stage handle for
+        read_stage/publish_stage/abort_stage. Orphan GC's dwell time
+        (`remove_orphan_files(older_than_sec)`) must exceed the audit
+        window — a staged-but-unpublished dir is indistinguishable
+        from a crashed writer's, BY DESIGN (abandoned stages are
+        garbage)."""
+        prev = self.current_snapshot()
+        unit = (prev.get("partition_unit") or partition_unit) if prev \
+            else partition_unit
+        ddir, n = self._write_data(df, unit, ts_col)
+        return {"stage_dir": ddir, "rows": n,
+                "schema": json.dumps(df.schema.jsonValue()),
+                "partition_unit": partition_unit, "ts_col": ts_col}
+
+    def read_stage(self, spark: SparkSession, handle: dict) -> DataFrame:
+        """WAP step 2 input: the staged rows, for audit queries
+        (expectations, row counts, sampling) — reads ONLY the staged
+        dir, never the table."""
+        df = self._scan_dirs(spark, [handle["stage_dir"]])
+        if "_p" in df.columns:
+            df = df.drop("_p")
+        schema = T.StructType.fromJson(json.loads(handle["schema"]))
+        return df.select(*[
+            F.col(f.name).cast(f.dataType) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ])
+
+    def publish_stage(self, handle: dict,
+                      extra_meta: dict | None = None) -> dict:
+        """WAP step 3: fast-forward the audited files into the table —
+        a pure METADATA commit (adopt_dir: the files are not read or
+        rewritten), with the audit report riding `extra_meta` so the
+        published snapshot carries its own evidence."""
+        schema = T.StructType.fromJson(json.loads(handle["schema"]))
+        return self.adopt_dir(handle["stage_dir"], handle["rows"], schema,
+                              handle["partition_unit"], handle["ts_col"],
+                              extra_meta=extra_meta)
+
+    def abort_stage(self, handle: dict) -> None:
+        """Discard a staged write (audit failed). Nothing was ever
+        visible; this only reclaims the files."""
+        import shutil
+
+        shutil.rmtree(handle["stage_dir"], ignore_errors=True)
 
     def overwrite(self, df: DataFrame, partition_unit: str = "",
                   ts_col: str = "timestamp", op: str = "overwrite",
