@@ -1305,6 +1305,35 @@ def q_erase_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog scan (tablestore.read_changelog, the Iceberg
+    changelog-table shape): batch-1 append (doc_id ≤ mid) → mor delete
+    (n_chars % 11 = 0, scoped to batch 1 by construction) → batch-2
+    append. The feed attributes every row: batch-1 rows insert at
+    snapshot 1, the masked rows delete at snapshot 2 (recomputed from
+    the recorded predicate against pre-delete data — later appends out
+    of scope), batch-2 rows insert at snapshot 3. The oracle recomputes
+    the same three-way union; the retraction contract
+    (inserts exceptAll deletes == read) is pinned in pytest."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (mn + mx) // 2
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="cdc_wh_")).table("documents")
+    t.append(docs.filter(F.col("doc_id") <= mid))
+    erase = docs.filter((F.col("doc_id") <= mid)
+                        & (F.col("n_chars") % 11 == 0)).select("doc_id")
+    t.delete_keys(spark, erase, ["doc_id"])
+    t.append(docs.filter(F.col("doc_id") > mid))
+    return t.read_changelog(spark, None).select(
+        "doc_id", "lang", "source", "n_chars",
+        "_change_type", "_commit_snapshot_id")
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish gate (swarm_spark/wap.py over tablestore
     stage/publish): the documents batch is STAGED (invisible), audited
@@ -1384,6 +1413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mor_delete": q_mor_delete,
     "erase_keys": q_erase_keys,
     "wap_publish": q_wap_publish,
+    "changelog": q_changelog,
     "cow_update": q_cow_update,
     "file_skip": q_file_skip,
     "bm25": q_bm25,
@@ -2174,6 +2204,21 @@ def _oracle_sql() -> dict[str, str]:
             WHERE NOT coalesce(
               doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
               AND quality < 30, FALSE)
+        """,
+        "changelog": """
+            WITH b AS (
+              SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents)
+            SELECT doc_id, lang, source, n_chars,
+                   'insert' AS _change_type,
+                   CAST(CASE WHEN doc_id <= b.mid THEN 1 ELSE 3 END AS BIGINT)
+                     AS _commit_snapshot_id
+            FROM documents, b
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars,
+                   'delete' AS _change_type,
+                   CAST(2 AS BIGINT) AS _commit_snapshot_id
+            FROM documents, b
+            WHERE doc_id <= b.mid AND n_chars % 11 = 0
         """,
         "wap_publish": """
             SELECT doc_id, lang, source, n_chars,

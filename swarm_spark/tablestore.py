@@ -1228,6 +1228,118 @@ class IcepackTable:
         chain.reverse()
         return chain
 
+    def read_changelog(
+        self,
+        spark: SparkSession,
+        after_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between snapshots (the Iceberg CDC
+        changelog scan): every table row gains `_change_type`
+        ('insert' | 'delete') and `_commit_snapshot_id`. Appends emit
+        their new dirs' rows as inserts; merge-on-read deletes emit
+        the rows they masked as deletes (recomputed by applying the
+        recorded predicate / key file to the pre-delete data, with
+        EARLIER masks applied first so a row deletes at most once).
+        Copy-on-write rewrites (delete/update/compact/overwrite/merge)
+        raise IncrementalReadError — a rewrite is not
+        row-attributable without a diff; the consumer falls back to a
+        full recompute, exactly like read_incremental. This is how a
+        downstream incremental consumer stays correct once the
+        erasure queue (delete_keys) is in play: inserts maintain the
+        aggregate forward, deletes retract."""
+        chain = self.changes_between(after_snapshot_id, to_snapshot_id)
+        to_snap = chain[-1] if chain else (
+            self.snapshot(to_snapshot_id) if to_snapshot_id is not None
+            else self.current_snapshot())
+        schema = T.StructType.fromJson(json.loads(to_snap["schema"]))
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_change_type", T.StringType(), False),
+               T.StructField("_commit_snapshot_id", T.LongType(), False)])
+        if not chain:
+            return spark.createDataFrame([], out_schema)
+        bad = [s for s in chain
+               if s["op"] not in ("append", "mor_delete")]
+        if bad:
+            raise IncrementalReadError(
+                f"table {self.name}: non-attributable rewrite in range: "
+                + ", ".join(f"{s['snapshot_id']}={s['op']}" for s in bad))
+        if after_snapshot_id is not None:
+            try:
+                parent0 = self.snapshot(after_snapshot_id)
+            except FileNotFoundError as e:
+                raise IncrementalReadError(
+                    f"table {self.name}: checkpoint snapshot "
+                    f"{after_snapshot_id} expired") from e
+            prev_dirs = list(parent0["data_dirs"])
+            prev_dels = list(parent0.get("deletes") or [])
+        else:
+            prev_dirs, prev_dels = [], []
+
+        def project(df, change, sid):
+            cols = [
+                F.col(f.name).cast(f.dataType) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            return df.select(*cols) \
+                .withColumn("_change_type", F.lit(change)) \
+                .withColumn("_commit_snapshot_id",
+                            F.lit(sid).cast("long"))
+
+        parts: list[DataFrame] = []
+        for snap in chain:
+            sid = snap["snapshot_id"]
+            if snap["op"] == "append":
+                new_dirs = [d for d in snap["data_dirs"]
+                            if d not in prev_dirs]
+                if new_dirs:
+                    df = self._scan_dirs(spark, new_dirs)
+                    for c in ("_p", "_s"):
+                        if c in df.columns:
+                            df = df.drop(c)
+                    parts.append(project(df, "insert", sid))
+            else:  # mor_delete: emit the newly-masked rows as deletes
+                prior_ids = {e["id"] for e in prev_dels}
+                own = [e for e in snap.get("deletes") or []
+                       if e["id"] not in prior_ids]
+                for ent in own:
+                    dirs = [d for d in snap["data_dirs"]
+                            if self._dir_sval(d) in set(ent["applies_to"])]
+                    if not dirs:
+                        continue
+                    df = self._scan_dirs(spark, dirs, keep_s=True)
+                    if prev_dels:
+                        # rows already masked before this commit never
+                        # re-delete
+                        df = self._apply_delete_masks(spark, df, prev_dels)
+                    applies = F.col("_s").isin(list(ent["applies_to"]))
+                    if ent.get("key_file"):
+                        keys = (spark.read.parquet(ent["key_file"])
+                                .select(*ent["key_cols"]).distinct()
+                                .withColumn("_kdel", F.lit(1)))
+                        df = df.join(F.broadcast(keys),
+                                     list(ent["key_cols"]), "left")
+                        df = df.filter(applies & F.col("_kdel").isNotNull()) \
+                               .drop("_kdel")
+                    else:
+                        pred = filestats.predicate_column(ent["predicates"])
+                        df = df.filter(
+                            applies & F.coalesce(pred, F.lit(False)))
+                    for c in ("_p", "_s"):
+                        if c in df.columns:
+                            df = df.drop(c)
+                    parts.append(project(df, "delete", sid))
+            prev_dirs = list(snap["data_dirs"])
+            prev_dels = list(snap.get("deletes") or [])
+        if not parts:
+            return spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read_incremental(
         self,
         spark: SparkSession,

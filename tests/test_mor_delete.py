@@ -198,3 +198,74 @@ class TestEqualityDeleteKeys:
         assert t.rollback(snap["snapshot_id"]) is True
         assert not os.path.isdir(kf)
         assert t.read(spark).count() == 400  # masks gone with the snapshot
+
+
+class TestChangelog:
+    def test_inserts_and_deletes_attributed(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("cdc")
+        s1 = t.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k bigint, v double"))
+        s2 = t.delete_where(spark, [("k", "<", 2)], mode="mor")
+        s3 = t.append(spark.createDataFrame([(10, 1.0)], "k bigint, v double"))
+        ch = t.read_changelog(spark, None)
+        got = sorted((r["k"], r["_change_type"], r["_commit_snapshot_id"])
+                     for r in ch.collect())
+        want = sorted(
+            [(i, "insert", s1["snapshot_id"]) for i in range(6)]
+            + [(0, "delete", s2["snapshot_id"]),
+               (1, "delete", s2["snapshot_id"]),
+               (10, "insert", s3["snapshot_id"])])
+        assert got == want
+        # windowed: only changes after s1
+        ch2 = t.read_changelog(spark, s1["snapshot_id"])
+        assert sorted((r["k"], r["_change_type"]) for r in ch2.collect()) == \
+            [(0, "delete"), (1, "delete"), (10, "insert")]
+
+    def test_row_deletes_at_most_once(self, spark, tmp_path):
+        """Two overlapping mor deletes: a row masked by the first must
+        not re-emit under the second."""
+        t = IcepackCatalog(str(tmp_path)).table("cdc2")
+        t.append(spark.createDataFrame(
+            [(i,) for i in range(10)], "k bigint"))
+        t.delete_where(spark, [("k", "<", 5)], mode="mor")
+        t.delete_where(spark, [("k", "<", 8)], mode="mor")
+        ch = t.read_changelog(spark, None)
+        dels = sorted(r["k"] for r in ch.collect()
+                      if r["_change_type"] == "delete")
+        assert dels == list(range(8))  # each deleted row exactly once
+
+    def test_key_file_deletes_attributed(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("cdc3")
+        t.append(spark.createDataFrame(
+            [(1, "u1"), (2, "u2"), (3, "u1")], "k bigint, user string"))
+        t.delete_keys(spark, spark.createDataFrame([("u1",)], "user string"),
+                      ["user"])
+        ch = t.read_changelog(spark, None)
+        dels = sorted(r["k"] for r in ch.collect()
+                      if r["_change_type"] == "delete")
+        assert dels == [1, 3]
+
+    def test_changelog_replay_reconstructs_table(self, spark, tmp_path):
+        """inserts minus deletes == current read — the retraction
+        contract a downstream incremental consumer relies on."""
+        t = IcepackCatalog(str(tmp_path)).table("cdc4")
+        t.append(spark.createDataFrame(
+            [(i, f"u{i % 3}") for i in range(30)], "k bigint, user string"))
+        t.delete_where(spark, [("k", ">=", 20)], mode="mor")
+        t.append(spark.createDataFrame(
+            [(100 + i, "x") for i in range(5)], "k bigint, user string"))
+        t.delete_keys(spark, spark.createDataFrame([("u1",)], "user string"),
+                      ["user"])
+        ch = t.read_changelog(spark, None)
+        ins = ch.filter("_change_type = 'insert'").select("k", "user")
+        dels = ch.filter("_change_type = 'delete'").select("k", "user")
+        replay = sorted(tuple(r) for r in ins.exceptAll(dels).collect())
+        assert replay == sorted(tuple(r) for r in t.read(spark).collect())
+
+    def test_rewrite_in_range_raises(self, spark, tmp_path):
+        from swarm_spark.tablestore import IncrementalReadError
+        t = IcepackCatalog(str(tmp_path)).table("cdc5")
+        s1 = t.append(spark.createDataFrame([(1,)], "k bigint"))
+        t.compact(spark)
+        with pytest.raises(IncrementalReadError):
+            t.read_changelog(spark, s1["snapshot_id"])
