@@ -47,6 +47,20 @@ def _partial_agg(df: DataFrame, keys: list[str], sums: dict[str, str]) -> DataFr
     return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
 
+def _partial_agg_signed(ch: DataFrame, keys: list[str],
+                        sums: dict[str, str]) -> DataFrame:
+    """Signed partial aggregate over a CDC changelog: insert rows
+    contribute +1/+value, delete rows −1/−value (RETRACTIONS). The
+    delta appends like any other; read_agg's merge nets them out —
+    additive aggregates stay exact through merge-on-read deletes
+    without rescanning the fact table."""
+    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)) \
+        .otherwise(F.lit(1))
+    aggs = [F.sum(sign).alias("n")]
+    aggs += [F.sum(sign * F.col(src)).alias(out) for out, src in sums.items()]
+    return ch.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
 def refresh_agg(
     spark: SparkSession,
     src: IcepackTable,
@@ -94,7 +108,27 @@ def refresh_agg(
                 return {"mode": "incremental", "src_snapshot_id": src_sid,
                         "delta_rows": snap["added_rows"]}
             except IncrementalReadError:
-                pass  # rewrite crossed the checkpoint → full recompute below
+                # appends + merge-on-read deletes in the range: maintain
+                # through the CDC changelog — deletes become RETRACTION
+                # rows (negative partials), so the erasure queue does
+                # not force a fact-table rescan. prepare() must keep
+                # the _change_type column (it only ever needs to ADD
+                # derived columns). A cow rewrite still raises here and
+                # falls through to the full recompute.
+                try:
+                    ch = src.read_changelog(spark, last, src_sid)
+                    if prepare is not None:
+                        ch = prepare(ch)
+                    delta = _partial_agg_signed(ch, keys, sums)
+                    snap = dst.append(delta, extra_meta={_CKPT_KEY: src_sid},
+                                      require_parent_meta={_CKPT_KEY: last})
+                    return {"mode": "incremental_cdc",
+                            "src_snapshot_id": src_sid,
+                            "delta_rows": snap["added_rows"]}
+                except IncrementalReadError:
+                    pass  # rewrite crossed the checkpoint → full recompute
+                except CommitConflict:
+                    continue
             except CommitConflict:
                 continue  # another refresher advanced the checkpoint — re-read
 
@@ -129,7 +163,10 @@ def read_agg(spark: SparkSession, dst: IcepackTable, keys: list[str],
     df = dst.read(spark)
     aggs = [F.sum("n").alias("n")]
     aggs += [F.sum(F.col(out)).alias(out) for out in sums.keys()]
-    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    merged = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    # retraction deltas (incremental_cdc) can net a key to zero — a
+    # fully-erased key must disappear, matching a full recompute
+    return merged.filter(F.col("n") != 0)
 
 
 def compact_agg(spark: SparkSession, dst: IcepackTable, keys: list[str],

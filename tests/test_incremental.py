@@ -265,3 +265,47 @@ class TestStreamingFeedsRollup:
             .agg(F.count(F.lit(1)).alias("n")),
             *keys, "n")
         assert got == want and len(got) > 0
+
+
+class TestRefreshThroughMorDeletes:
+    def test_cdc_refresh_equals_full_recompute(self, spark, tmp_path):
+        """A merge-on-read erase between refreshes maintains the
+        rollup via changelog RETRACTIONS (mode=incremental_cdc) — no
+        fact-table rescan — and the merged aggregate equals a full
+        recompute of the current table."""
+        cat = IcepackCatalog(str(tmp_path))
+        src, dst = cat.table("f"), cat.table("a")
+        src.append(spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "k string, v bigint"))
+        refresh_agg(spark, src, dst, ["k"], sums={"total": "v"})
+        # erasure queue: mor delete one of a's rows + a new append
+        src.delete_where(spark, [("v", "=", 2)], mode="mor")
+        src.append(spark.createDataFrame([("b", 10)], "k string, v bigint"))
+        r = refresh_agg(spark, src, dst, ["k"], sums={"total": "v"})
+        assert r["mode"] == "incremental_cdc"
+        got = _rows(read_agg(spark, dst, ["k"], sums={"total": "v"}),
+                    "k", "n", "total")
+        assert got == [("a", 1, 1), ("b", 2, 13)]
+
+    def test_fully_erased_key_disappears(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        src, dst = cat.table("f"), cat.table("a")
+        src.append(spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v bigint"))
+        refresh_agg(spark, src, dst, ["k"])
+        src.delete_keys(spark, spark.createDataFrame([("a",)], "k string"),
+                        ["k"])
+        r = refresh_agg(spark, src, dst, ["k"])
+        assert r["mode"] == "incremental_cdc"
+        assert _rows(read_agg(spark, dst, ["k"]), "k", "n") == [("b", 1)]
+
+    def test_cow_rewrite_still_forces_full(self, spark, tmp_path):
+        cat = IcepackCatalog(str(tmp_path))
+        src, dst = cat.table("f"), cat.table("a")
+        src.append(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+        refresh_agg(spark, src, dst, ["k"])
+        src.delete_where(spark, [("v", "=", 1)])  # cow — not attributable
+        src.append(spark.createDataFrame([("c", 5)], "k string, v bigint"))
+        r = refresh_agg(spark, src, dst, ["k"])
+        assert r["mode"] == "full"
+        assert _rows(read_agg(spark, dst, ["k"]), "k", "n") == [("c", 1)]
