@@ -113,6 +113,38 @@ class PosixMetaStore:
         except FileNotFoundError:
             return False
 
+    # -- tags (named snapshot pins) ----------------------------------
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.meta, f"tag-{name}.json")
+
+    def set_tag(self, name: str, sid: int) -> None:
+        tmp = self._tag_path(name) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(tmp, self._tag_path(name))
+
+    def get_tag(self, name: str) -> int | None:
+        try:
+            with open(self._tag_path(name)) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def delete_tag(self, name: str) -> bool:
+        try:
+            os.remove(self._tag_path(name))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def list_tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for fn in os.listdir(self.meta):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta, fn)) as fh:
+                    out[fn[4:-5]] = int(fh.read().strip())
+        return out
+
     # -- test/tooling helper ----------------------------------------
     def plant_claim(self, sid: int, payload: dict, age_sec: float = 0.0) -> None:
         """Simulate a writer that claimed `sid` and died before
@@ -302,6 +334,28 @@ class CASMetaStore:
 
     def delete_snap(self, sid: int) -> bool:
         return self._delete(f"snap-{sid}")
+
+    # -- tags (named snapshot pins) ----------------------------------
+    def set_tag(self, name: str, sid: int) -> None:
+        with self._lock:
+            obj = self._objects.get(f"tag-{name}")
+            if obj is None:
+                self._objects[f"tag-{name}"] = [str(sid), 1, time.time()]
+            else:
+                obj[0] = str(sid)
+                obj[1] += 1
+
+    def get_tag(self, name: str) -> int | None:
+        got = self._get(f"tag-{name}")
+        return int(got[0]) if got is not None else None
+
+    def delete_tag(self, name: str) -> bool:
+        return self._delete(f"tag-{name}")
+
+    def list_tags(self) -> dict[str, int]:
+        with self._lock:
+            return {k[4:]: int(v[0]) for k, v in self._objects.items()
+                    if k.startswith("tag-")}
 
     # -- test/tooling helper ----------------------------------------
     def plant_claim(self, sid: int, payload: dict, age_sec: float = 0.0) -> None:

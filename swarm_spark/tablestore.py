@@ -155,6 +155,27 @@ class IcepackTable:
     def exists(self) -> bool:
         return self._current_id() is not None
 
+    # -- tags: named, expire-protected snapshot pins ------------------
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg tag): `read(tag=name)`
+        reads it forever — expire_snapshots never drops a tagged
+        snapshot or its files. THE reproducible-training-run handle: a
+        dataset release is a tag, and later appends/deletes/compacts
+        can never change what the tag reads."""
+        sid = snapshot_id if snapshot_id is not None else self._current_id()
+        if sid is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        self.snapshot(sid)  # must exist
+        self.store.set_tag(name, sid)
+        return sid
+
+    def drop_tag(self, name: str) -> bool:
+        """Unpin; the snapshot becomes expirable again."""
+        return self.store.delete_tag(name)
+
+    def tags(self) -> dict:
+        return self.store.list_tags()
+
     def schema(self) -> T.StructType | None:
         snap = self.current_snapshot()
         if snap is None:
@@ -596,8 +617,11 @@ class IcepackTable:
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return {"expired": 0, "data_dirs_removed": 0}
-        keep = snaps[-keep_last:]
-        drop = snaps[:-keep_last]
+        tagged = set(self.store.list_tags().values())
+        keep = snaps[-keep_last:] + [s for s in snaps[:-keep_last]
+                                     if s["snapshot_id"] in tagged]
+        drop = [s for s in snaps[:-keep_last]
+                if s["snapshot_id"] not in tagged]
         kept_dirs = {d for s in keep for d in s["data_dirs"]}
         kept_kf = {e.get("key_file") for s in keep
                    for e in s.get("deletes") or [] if e.get("key_file")}
@@ -1421,8 +1445,10 @@ class IcepackTable:
         snapshot_id: int | None = None,
         ts_between: tuple[str, str] | None = None,
         prune: list[tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read the table at CURRENT (or time-travel to snapshot_id).
+        """Read the table at CURRENT (or time-travel to snapshot_id,
+        or to a named tag — see create_tag).
         ts_between=(lo_iso, hi_iso) prunes hive partitions before the
         scan when the table has a time partition transform.
 
@@ -1433,6 +1459,12 @@ class IcepackTable:
         manifest-stats file skipping — see swarm_spark/filestats.py).
         Timestamp literals: datetime (naive = UTC) or ISO string.
         Files from dirs without a stats sidecar are always scanned."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR tag, not both")
+            snapshot_id = self.store.get_tag(tag)
+            if snapshot_id is None:
+                raise FileNotFoundError(f"table {self.name}: no tag {tag!r}")
         if snapshot_id is not None:
             snap = self.snapshot(snapshot_id)
         else:

@@ -247,3 +247,12 @@ class TestCASCommitProtocol:
         assert t1.store is t2.store
         t1.append(spark.createDataFrame([(1,)], "a int"))
         assert t2.current_snapshot()["snapshot_id"] == 1
+
+    def test_tags_on_cas_store(self, spark, cat):
+        t = _table(cat, "tags")
+        t.append(spark.createDataFrame([(1,)], "a bigint"))
+        t.create_tag("v1")
+        t.append(spark.createDataFrame([(2,)], "a bigint"))
+        t.expire_snapshots(keep_last=1)
+        assert t.read(spark, tag="v1").count() == 1
+        assert _table(cat, "tags").tags() == {"v1": 1}

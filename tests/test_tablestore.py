@@ -161,3 +161,44 @@ class TestManifestPlanning:
         # partition pruning still applies across multi-dir read
         pruned = t.read(spark, ts_between=("2026-01-01T11:00", "2026-01-01T12:00"))
         assert [r.a for r in pruned.collect()] == [2]
+
+
+class TestTags:
+    def test_tag_reads_forever(self, spark, tmp_path):
+        """A tag pins what a training run read: later appends, mor
+        deletes, and even aggressive snapshot expiry cannot change or
+        break `read(tag=...)`."""
+        import pytest as _pt
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("rel")
+        t.append(spark.createDataFrame([(1,), (2,)], "a bigint"))
+        t.create_tag("train-v1")
+        t.append(spark.createDataFrame([(3,)], "a bigint"))
+        t.delete_where(spark, [("a", "=", 1)], mode="mor")
+        for _ in range(3):
+            t.append(spark.createDataFrame([(9,)], "a bigint"))
+        rep = t.expire_snapshots(keep_last=1)
+        assert rep["expired"] >= 3
+        # the tagged snapshot and its files survived the expiry
+        got = sorted(r["a"] for r in t.read(spark, tag="train-v1").collect())
+        assert got == [1, 2]
+        assert t.tags() == {"train-v1": 1}
+        # dropping the tag makes it expirable again
+        t.drop_tag("train-v1")
+        t.expire_snapshots(keep_last=1)
+        with _pt.raises(FileNotFoundError):
+            t.read(spark, tag="train-v1")
+
+    def test_tag_validation(self, spark, tmp_path):
+        import pytest as _pt
+
+        t = IcepackCatalog(str(tmp_path)).table("v")
+        with _pt.raises(FileNotFoundError):
+            t.create_tag("x")  # no snapshots yet
+        t.append(spark.createDataFrame([(1,)], "a bigint"))
+        with _pt.raises(FileNotFoundError):
+            t.create_tag("x", snapshot_id=99)
+        t.create_tag("x")
+        with _pt.raises(ValueError, match="not both"):
+            t.read(spark, snapshot_id=1, tag="x")
