@@ -85,6 +85,14 @@ class PipelineConfig:
     # here instead of being dropped silently — the operational middle
     # ground between swarm's event-level error and record-level skip
     dead_letter_table: str = ""
+    # data-quality gate on the STAGED batch (write-audit-publish): sink
+    # name → expectation rules (operators/expectations.py forms); key
+    # "*" applies to every sink. Rules run over the staged files AFTER
+    # the fan-out write and BEFORE any sink adopts its snapshot, so a
+    # failing batch never becomes visible in ANY sink (all-or-nothing,
+    # stronger than per-sink WAP). One fused agg job per audited sink.
+    # single_pass mode only (the default).
+    sink_expectations: dict | None = None
     manifest_dir: str = field(default="")
 
     def __post_init__(self):
@@ -356,6 +364,37 @@ class IngestPipeline:
                 raise RuntimeError(
                     f"staged-write count mismatch: {written} written vs "
                     f"{total} observed")
+
+        # write-audit-publish gate: expectations run over the STAGED
+        # parquet (byte-identical to what will be adopted) before ANY
+        # sink commits — a poisoned batch aborts with every table
+        # untouched and the failure recorded in the audit table by the
+        # caller's except path.
+        if cfg.sink_expectations:
+            from swarm_spark.operators.expectations import validate
+            from swarm_spark.wap import AuditFailed
+
+            failures: list[tuple[str, list]] = []
+            for s in all_sinks:
+                rules = list(cfg.sink_expectations.get("*", [])) + \
+                    list(cfg.sink_expectations.get(s, []))
+                sdir = os.path.join(batch_dir, f"_sink={s}")
+                if not rules or not os.path.isdir(sdir):
+                    continue
+                rep = [r.asDict() for r in
+                       validate(self.spark.read.parquet(sdir), rules).collect()]
+                bad = [r for r in rep if not r["passed"]]
+                if bad:
+                    failures.append((s, bad))
+            if failures:
+                detail = "; ".join(
+                    f"{s}: " + ", ".join(
+                        f"{r['rule']}({r['target']})="
+                        f"{r['violations']}/{r['checked']}" for r in bad)
+                    for s, bad in failures)
+                raise AuditFailed(
+                    f"sink expectations failed — {detail}",
+                    [r for _, bad in failures for r in bad])
 
         field_by_name = {f.name: f for f in routed.schema.fields}
         from pyspark.sql import types as T

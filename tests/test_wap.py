@@ -103,3 +103,56 @@ class TestWriteAuditPublish:
                 spark.createDataFrame([(9, "zz", 1.0)], SCHEMA),
                 [("referential", "cat", dim, "k")])
         assert t.read(spark).count() == 3
+
+
+class TestPipelineAuditGate:
+    def _mkpipe(self, spark, tmp_path, expectations):
+        from swarm_spark.pipeline import IngestPipeline, PipelineConfig
+        from swarm_spark.presets import (
+            default_event_rules,
+            default_schema_rules,
+            default_tool_dim,
+        )
+
+        return IngestPipeline(spark, PipelineConfig(
+            event_rules=default_event_rules(),
+            schema_rules=default_schema_rules(),
+            warehouse=str(tmp_path / "wh"),
+            tool_dim=default_tool_dim(spark),
+            sink_expectations=expectations,
+        ))
+
+    def test_good_batch_passes_gate(self, spark, tmp_path):
+        from swarm_spark.datagen import generate_transcripts
+
+        t = generate_transcripts(spark, 500, n_convs=10, seed=3)
+        pipe = self._mkpipe(spark, tmp_path, {
+            "*": [("not_null", "id"), ("unique", ["id"])],
+        })
+        res = pipe.run(t, batch_id="ok1")
+        assert not res.skipped and res.routed_rows > 0
+
+    def test_poisoned_batch_aborts_every_sink(self, spark, tmp_path):
+        """An impossible expectation fails the audit: no sink table is
+        created/advanced, the batch dir is reclaimed, and the audit
+        table records the failure."""
+        import os
+
+        from swarm_spark.datagen import generate_transcripts
+        from swarm_spark.wap import AuditFailed
+
+        t = generate_transcripts(spark, 500, n_convs=10, seed=3)
+        pipe = self._mkpipe(spark, tmp_path, {
+            "*": [("accepted_values", "role", ["nobody"])],
+        })
+        with pytest.raises(AuditFailed, match="accepted_values"):
+            pipe.run(t, batch_id="bad1")
+        for s in pipe.catalog.tables():
+            if s.startswith("sink_"):
+                raise AssertionError(f"sink {s} exists after failed audit")
+        bdir = str(tmp_path / "wh" / "_batch")
+        assert not os.path.isdir(bdir) or os.listdir(bdir) == []
+        # the gate is batch-scoped: a later clean config run proceeds
+        pipe2 = self._mkpipe(spark, tmp_path, None)
+        res = pipe2.run(t, batch_id="ok2")
+        assert res.routed_rows > 0
