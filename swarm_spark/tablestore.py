@@ -687,7 +687,8 @@ class IcepackTable:
     def compact(self, spark: SparkSession, target_files: int | None = None,
                 max_retries: int = 10,
                 cluster_by: list[str] | None = None,
-                zorder_by: list[str] | None = None) -> dict:
+                zorder_by: list[str] | None = None,
+                partition_unit: str | None = None) -> dict:
         """Small-file compaction (the rewrite_data_files maintenance
         op): rewrite CURRENT contents into a single fresh data dir
         with a bounded file count, preserving schema + partitioning.
@@ -706,19 +707,29 @@ class IcepackTable:
         get a tight bounding box in EVERY listed dimension, so prune
         works on each column independently — use it when queries
         filter on more than one column. Appends interleave values
-        again — re-cluster on a maintenance cadence."""
+        again — re-cluster on a maintenance cadence.
+
+        partition_unit="day"/"hour"/... RESPECS the table (partition
+        evolution as an explicit rewrite): the compacted data and all
+        FUTURE appends use the new time transform. Mixed-format `_p`
+        pruning is unsound, so spec change is deliberately O(table) —
+        one honest rewrite instead of silently wrong ts_between reads;
+        pre-compaction snapshots keep their old layout for time
+        travel."""
         import shutil
 
         for _ in range(max_retries):
             snap = self.current_snapshot()
             if snap is None:
                 raise FileNotFoundError(f"table {self.name} has no snapshots")
+            unit = partition_unit if partition_unit is not None \
+                else snap.get("partition_unit", "")
             df = self.read(spark)
             if target_files and not cluster_by and not zorder_by \
-                    and not snap.get("partition_unit"):
+                    and not unit:
                 df = df.coalesce(target_files)
             ddir, n = self._write_data(
-                df, snap.get("partition_unit", ""), snap.get("ts_col", "timestamp"),
+                df, unit, snap.get("ts_col", "timestamp"),
                 cluster_by=cluster_by, target_files=target_files,
                 zorder_by=zorder_by,
             )
@@ -727,7 +738,7 @@ class IcepackTable:
                 "op": "compact",
                 "data_dirs": [ddir],
                 "schema": snap["schema"],
-                "partition_unit": snap.get("partition_unit", ""),
+                "partition_unit": unit,
                 "ts_col": snap.get("ts_col", "timestamp"),
                 "row_count": n,
                 "added_rows": 0,

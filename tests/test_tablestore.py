@@ -202,3 +202,32 @@ class TestTags:
         t.create_tag("x")
         with _pt.raises(ValueError, match="not both"):
             t.read(spark, snapshot_id=1, tag="x")
+
+
+class TestPartitionRespec:
+    def test_compact_changes_time_transform(self, spark, tmp_path):
+        """Partition evolution as an explicit rewrite: compact with a
+        new partition_unit respecs the table — the rewrite and FUTURE
+        appends use the new transform, ts_between pruning works on the
+        new layout, and time travel to the old layout still reads."""
+        import datetime as dt
+        import os
+
+        t = IcepackCatalog(str(tmp_path)).table("resp")
+        rows = [(i, dt.datetime(2026, 1, 1 + i // 4, i % 4)) for i in range(8)]
+        t.append(spark.createDataFrame(rows, "k int, timestamp timestamp"),
+                 partition_unit="hour")
+        pre = t.current_snapshot()["snapshot_id"]
+        t.compact(spark, partition_unit="day")
+        assert t.current_snapshot()["partition_unit"] == "day"
+        # new layout: _p=yyyy-MM-dd dirs
+        d = t.current_snapshot()["data_dirs"][0]
+        parts = sorted(p for p in os.listdir(d) if p.startswith("_p="))
+        assert parts == ["_p=2026-01-01", "_p=2026-01-02"]
+        # future appends follow the new spec (sticky on the new unit)
+        t.append(spark.createDataFrame(
+            [(99, dt.datetime(2026, 1, 3))], "k int, timestamp timestamp"))
+        got = t.read(spark, ts_between=("2026-01-02", "2026-01-03"))
+        assert sorted(r["k"] for r in got.collect()) == [4, 5, 6, 7, 99]
+        # time travel to the pre-respec snapshot still reads fully
+        assert t.read(spark, snapshot_id=pre).count() == 8
