@@ -330,6 +330,16 @@ class GuardedTable:
                     return self._scrub_snapshot(out)
                 if isinstance(out, list) and any(isinstance(s, dict) for s in out):
                     return [self._scrub_snapshot(s) for s in out]
+                # ANY DataFrame-shaped return is a read surface —
+                # read_incremental, read_changelog, read_stage, and
+                # whatever future table classes add — and gets the
+                # same row filters + column masks as read(); without
+                # this, the changelog/incremental scans would be a
+                # governance bypass
+                if isinstance(out, DataFrame) and self._policy is not None:
+                    return self._policy.apply(
+                        out, self._request,
+                        table_name=getattr(self._inner, "name", None))
                 return out
 
             return gated

@@ -337,3 +337,59 @@ class TestTableScopedPolicy:
         df = spark.createDataFrame([("sink_errors",)], "sink string")
         with pytest.raises(ValueError, match="no table identity"):
             p.apply(df, req(role="analyst"))
+
+
+class TestGuardedReadSurfaces:
+    """Every DataFrame-returning table method is a read surface: row
+    filters and column masks must apply to read_incremental,
+    read_changelog, and read_stage exactly as to read()."""
+
+    def _guarded(self, tmp_path, spark):
+        from swarm_spark.auth import (
+            AccessPolicy,
+            AllowRule,
+            GuardedCatalog,
+            RowFilter,
+        )
+        from swarm_spark.tablestore import IcepackCatalog
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("events")
+        t.append(spark.createDataFrame(
+            [(1, "alice", "s3cret"), (2, "bob", "hunter2")],
+            "k bigint, user string, token string"))
+        policy = AccessPolicy(
+            allow_rules=[AllowRule("all", (("role", "eq", "analyst"),))],
+            row_filters=[RowFilter("role", "analyst", "user", "eq", "alice")],
+            column_masks={"analyst": ["token"]},
+        )
+        req = {"role": "analyst"}
+        return t, GuardedCatalog(cat, policy, req).table("events")
+
+    def test_read_incremental_filtered_and_masked(self, spark, tmp_path):
+        t, g = self._guarded(tmp_path, spark)
+        inc = g.read_incremental(spark, None)
+        rows = inc.collect()
+        assert [r["user"] for r in rows] == ["alice"]
+        assert "token" not in inc.columns  # masked, not leaked
+
+    def test_read_changelog_filtered_and_masked(self, spark, tmp_path):
+        t, g = self._guarded(tmp_path, spark)
+        t.delete_where(spark, [("k", "=", 1)], mode="mor")
+        ch = g.read_changelog(spark, None)
+        rows = ch.collect()
+        # only alice's rows visible (1 insert + 1 delete), token masked
+        assert sorted((r["user"], r["_change_type"]) for r in rows) == \
+            [("alice", "delete"), ("alice", "insert")]
+        assert "token" not in ch.columns
+
+    def test_read_stage_filtered_and_masked(self, spark, tmp_path):
+        t, g = self._guarded(tmp_path, spark)
+        h = t.stage(spark.createDataFrame(
+            [(3, "alice", "x"), (4, "bob", "y")],
+            "k bigint, user string, token string"))
+        staged = g.read_stage(spark, h)
+        rows = staged.collect()
+        assert [r["user"] for r in rows] == ["alice"]
+        assert "token" not in staged.columns
+        t.abort_stage(h)
