@@ -546,11 +546,17 @@ class IngestPipeline:
                 # Materialize the cache ONCE before the per-sink
                 # fan-out; otherwise N writer threads race to compute
                 # the same plan N times before the cache is populated.
-                routed_rows_total = routed.count()
-                if cfg.on_unmatched == "keep":
-                    routed_rows_total = routed.filter(
-                        F.col("sink_table").isNotNull()
-                    ).count()
+                # ONE conditional agg materializes the cache and yields
+                # both totals (was: .count() then .filter().count() —
+                # the second recomputed over the cache under keep mode)
+                tot = routed.agg(
+                    F.count(F.lit(1)).alias("all_rows"),
+                    F.sum(F.col("sink_table").isNotNull().cast("long"))
+                    .alias("sinked"),
+                ).first()
+                routed_rows_total = int(
+                    (tot["sinked"] or 0) if cfg.on_unmatched == "keep"
+                    else tot["all_rows"])
                 input_rows = int(obs_in.get["n"])
 
                 if dl_name:
