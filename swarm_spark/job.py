@@ -22,6 +22,30 @@ if __package__ in (None, ""):  # direct script / spark-submit invocation
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def parse_expectation(spec: str) -> tuple:
+    """One --expect RULE string → an operators/expectations rule tuple.
+    Fail-fast with guidance: a typo'd gate must not silently vanish."""
+    parts = spec.split(":")
+    kind = parts[0]
+    try:
+        if kind == "not_null" and len(parts) == 2:
+            return ("not_null", parts[1])
+        if kind == "unique" and len(parts) == 2:
+            return ("unique", parts[1].split(","))
+        if kind == "accepted_values" and len(parts) == 3:
+            return ("accepted_values", parts[1], parts[2].split(","))
+        if kind == "range" and len(parts) == 4:
+            lo = None if parts[2] == "" else float(parts[2])
+            hi = None if parts[3] == "" else float(parts[3])
+            return ("range", parts[1], lo, hi)
+        if kind == "matches" and len(parts) >= 3:
+            return ("matches", parts[1], ":".join(parts[2:]))
+    except ValueError as e:
+        raise SystemExit(f"--expect {spec!r}: {e}")
+    raise SystemExit(
+        f"--expect {spec!r}: unknown form — see --help for the grammar")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="swarm-spark-ingest", description=__doc__)
     ap.add_argument("--input", required=True,
@@ -36,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip the turn-ordering window (input guarantees order)")
     ap.add_argument("--dry-run", action="store_true",
                     help="plan + explain only; write nothing (≙ swarm --dry-run)")
+    ap.add_argument("--expect", action="append", default=None,
+                    metavar="RULE", help="data-quality gate on the staged "
+                    "batch before ANY sink commits (write-audit-publish). "
+                    "Forms: not_null:COL | unique:COL[,COL..] | "
+                    "accepted_values:COL:v1,v2 | range:COL:LO:HI | "
+                    "matches:COL:REGEX. Repeatable; applies to every sink.")
     ap.add_argument("--refresh-daily-rollup", action="store_true",
                     help="after the ingest, bring the _agg_daily rollup table "
                          "up to date from _agg_hourly INCREMENTALLY (scans only "
@@ -64,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
         tool_dim=default_tool_dim(spark),
         on_unmatched=args.on_unmatched,
         assume_ordered=args.assume_ordered,
+        sink_expectations=(
+            {"*": [parse_expectation(r) for r in args.expect]}
+            if args.expect else None),
     )
     pipe = IngestPipeline(spark, cfg)
 

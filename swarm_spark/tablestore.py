@@ -1148,6 +1148,32 @@ class IcepackTable:
                     continue
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
+        # equality-delete key files (delete_keys) referenced by NO live
+        # snapshot — a writer that crashed between writing the key
+        # parquet and committing leaves one behind; same dwell rule
+        live_kf = {os.path.basename(e["key_file"].rstrip("/"))
+                   for s in self.snapshots()
+                   for e in s.get("deletes") or [] if e.get("key_file")}
+        kdir = os.path.join(self.path, "_deletes")
+        if os.path.isdir(kdir):
+            for name in os.listdir(kdir):
+                full = os.path.join(kdir, name)
+                if name in live_kf or not os.path.isdir(full):
+                    continue
+                newest = os.path.getmtime(full)
+                for root, _dirs, files in os.walk(full):
+                    for entry in files:
+                        try:
+                            m = os.path.getmtime(os.path.join(root, entry))
+                        except OSError:
+                            continue
+                        if m > newest:
+                            newest = m
+                if now - newest < older_than_sec:
+                    kept_young += 1
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
         return {"orphans_removed": removed, "orphans_too_young": kept_young}
 
     # -- read ----------------------------------------------------------

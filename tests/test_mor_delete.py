@@ -269,3 +269,29 @@ class TestChangelog:
         t.compact(spark)
         with pytest.raises(IncrementalReadError):
             t.read_changelog(spark, s1["snapshot_id"])
+
+
+class TestKeyFileOrphanGC:
+    def test_unreferenced_key_file_collected_after_dwell(self, spark, tmp_path):
+        """A key parquet left by a writer that crashed before its
+        mor commit is GC'd by remove_orphan_files with the same dwell
+        rule; live key files are never touched."""
+        import time as _time
+
+        t = _mk(spark, tmp_path)
+        live = t.delete_keys(
+            spark, spark.createDataFrame([("u1",)], "user string"), ["user"])
+        live_kf = live["deletes"][-1]["key_file"]
+        # simulate the crash: a key dir that no snapshot references
+        dead = os.path.join(t.path, "_deletes", "deadbeef")
+        os.makedirs(dead)
+        with open(os.path.join(dead, "part-0.parquet"), "w") as fh:
+            fh.write("x")
+        old = _time.time() - 7200
+        os.utime(os.path.join(dead, "part-0.parquet"), (old, old))
+        os.utime(dead, (old, old))
+        rep = t.remove_orphan_files(older_than_sec=3600)
+        assert rep["orphans_removed"] == 1
+        assert not os.path.isdir(dead)
+        assert os.path.isdir(live_kf)  # referenced → untouched
+        assert t.read(spark).filter("user = 'u1'").count() == 0  # mask intact
