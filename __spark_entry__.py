@@ -907,6 +907,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-aware context packing (operators/sampling.
+    pack_turns): turns assigned to 128-token training windows at turn
+    boundaries only (first-fit-by-offset — deterministic and
+    SQL-expressible, unlike stateful greedy packing); one
+    conversation-keyed shuffle, windows bounded by conversation
+    length. The SFT-data analogue of pack_sequences' doc-level
+    concat-then-slice."""
+    from swarm_spark.operators.sampling import pack_turns
+
+    t = transcripts_from_events(spark, sf_dir)
+    return pack_turns(t, max_tokens=128)
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (token, count, doc_freq), min_count=5 — one
     map-side-combined shuffle on the token."""
@@ -1438,6 +1452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "seeded_shuffle": q_seeded_shuffle,
     "pack_sequences": q_pack_sequences,
+    "pack_turns": q_pack_turns,
     "vocab": q_vocab,
     "span_scrub": q_span_scrub,
     "dedup_exact": q_dedup_exact,
@@ -1886,6 +1901,23 @@ def _oracle_sql() -> dict[str, str]:
                      ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)), doc_id
                    ) - 1 AS position
             FROM documents
+        """,
+        "pack_turns": f"""
+            WITH transcripts AS ({_T}),
+            tok AS (
+              SELECT conv_id, turn_idx,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM transcripts),
+            c AS (
+              SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_start
+              FROM tok)
+            SELECT conv_id, turn_idx, n_tokens, tok_start,
+                   tok_start + n_tokens AS tok_end,
+                   tok_start // 128 AS window_idx
+            FROM c
         """,
         "pack_sequences": """
             WITH d AS (

@@ -234,3 +234,53 @@ def mixture_resample(
         ),
     )
     return out.drop("_n_copies")
+
+
+def pack_turns(
+    transcripts: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    token_expr: F.Column | None = None,
+) -> DataFrame:
+    """Conversation-aware context packing for SFT-style training data:
+    turns are laid out per conversation in turn order and assigned to
+    fixed-budget windows WITHOUT ever splitting a turn — a training
+    sample is a contiguous turn span of ONE conversation. The window
+    assignment is first-fit-by-offset: a turn belongs to the window
+    its starting token offset falls in (floor(tok_start/max_tokens)),
+    so every cut is a turn boundary; a window may exceed max_tokens by
+    at most one turn's length (and a single turn longer than the
+    budget is its own over-budget window) — the deterministic,
+    SQL-expressible discipline, unlike greedy bin packing whose
+    assignment depends on sequential state.
+
+    Output: (conv_col, idx_col, n_tokens, tok_start, tok_end,
+    window_idx) with conversation-relative token offsets — a
+    downstream tokenizer materializes window tensors from exactly
+    these intervals.
+
+    Scale: ONE shuffle on conv_col; every window function is
+    conversation-partitioned (bounded by conversation length, the
+    reassembly bound) — no global sort at any size, so no max_rows
+    guard is needed. token_expr defaults to the single-space token
+    count (size(split(text, ' ')) — the cross-engine formula the
+    pack_sequences oracle pins)."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    toks = (token_expr if token_expr is not None
+            else F.size(F.split(F.col("text"), " "))).cast("long")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    cum_excl = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return (
+        transcripts.withColumn("n_tokens", toks)
+        .withColumn("tok_start", cum_excl)
+        .withColumn("tok_end", F.col("tok_start") + F.col("n_tokens"))
+        .withColumn("window_idx",
+                    F.floor(F.col("tok_start") / F.lit(max_tokens)))
+        .select(conv_col, idx_col, "n_tokens", "tok_start", "tok_end",
+                "window_idx")
+    )

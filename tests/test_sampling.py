@@ -161,3 +161,52 @@ class TestMixtureResample:
         plan = mixture_resample(docs, self.W, group_col="lang") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestPackTurns:
+    def test_turns_never_split_and_windows_tile(self, spark):
+        from swarm_spark.operators.sampling import pack_turns
+
+        rows = [("c1", i, "w " * (9 + i)) for i in range(6)] + \
+               [("c2", 0, "one two"), ("c2", 1, "x " * 100)]
+        t = spark.createDataFrame([(c, i, s.strip()) for c, i, s in rows],
+                                  "conv_id string, turn_idx int, text string")
+        out = pack_turns(t, max_tokens=20).collect()
+        by = {(r.conv_id, r.turn_idx): r for r in out}
+        # offsets tile exactly: each turn starts where the previous ended
+        for conv in ("c1", "c2"):
+            turns = sorted([r for r in out if r.conv_id == conv],
+                           key=lambda r: r.turn_idx)
+            pos = 0
+            for r in turns:
+                assert r.tok_start == pos and r.tok_end == pos + r.n_tokens
+                pos = r.tok_end
+                # assignment = window containing the turn's START offset
+                assert r.window_idx == r.tok_start // 20
+        # a turn longer than the budget is its own over-budget window
+        big = by[("c2", 1)]
+        assert big.n_tokens == 100 and big.window_idx == big.tok_start // 20
+        # window monotonicity within a conversation
+        c1 = [by[("c1", i)].window_idx for i in range(6)]
+        assert c1 == sorted(c1)
+
+    def test_one_shuffle_no_global_sort(self, spark):
+        """The plan must contain exactly one Exchange (conv_id hash) —
+        no global sort, no guard needed at any size."""
+        from swarm_spark.operators.sampling import pack_turns
+
+        t = spark.createDataFrame([("c", 0, "a b")],
+                                  "conv_id string, turn_idx int, text string")
+        plan = pack_turns(t, 16)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_max_tokens_validated(self, spark):
+        import pytest as _pt
+
+        from swarm_spark.operators.sampling import pack_turns
+
+        t = spark.createDataFrame([("c", 0, "a")],
+                                  "conv_id string, turn_idx int, text string")
+        with _pt.raises(ValueError, match="positive"):
+            pack_turns(t, 0)
