@@ -82,7 +82,8 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
              gc_orphans_older_than: float | None = None,
              erase_batch_id: str | None = None,
              erase_mode: str = "cow",
-             fold_deletes_above: int | None = None) -> dict:
+             fold_deletes_above: int | None = None,
+             create_tag: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from swarm_spark.incremental import refresh_agg
@@ -123,6 +124,10 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
         if gc_orphans_older_than is not None:
             entry["orphans"] = t.remove_orphan_files(
                 older_than_sec=gc_orphans_older_than)
+        if create_tag:
+            # release automation: pin CURRENT (post-maintenance) under
+            # the given name — expire never drops it (tablestore tags)
+            entry["tagged"] = {create_tag: t.create_tag(create_tag)}
         report["tables"][name] = entry
     if refresh_daily_rollup and cat.table("_agg_hourly").exists():
         report["daily_rollup"] = refresh_agg(
@@ -152,6 +157,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="excise one ingest batch (delete_where ingest_id=) "
                          "from every table that has the envelope column; "
                          "dir pruning rewrites only that batch's dirs")
+    ap.add_argument("--tag", default=None, metavar="NAME",
+                    help="pin each processed table's CURRENT snapshot under "
+                         "this tag (expire-protected dataset release)")
     ap.add_argument("--erase-mode", choices=("cow", "mor"), default="cow",
                     help="cow: rewrite the batch's dirs now; mor: record a "
                          "merge-on-read mask (O(metadata)), folded at the "
@@ -180,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
         erase_batch_id=args.erase_batch,
         erase_mode=args.erase_mode,
         fold_deletes_above=args.fold_deletes_above,
+        create_tag=args.tag,
     )
     print(json.dumps(report))
     return 0

@@ -256,3 +256,21 @@ class TestCASCommitProtocol:
         t.expire_snapshots(keep_last=1)
         assert t.read(spark, tag="v1").count() == 1
         assert _table(cat, "tags").tags() == {"v1": 1}
+
+    def test_wap_on_cas_store(self, spark, cat):
+        """stage→audit→publish runs unchanged on conditional-put
+        commits (publish is an adopt through the same protocol)."""
+        from swarm_spark.wap import AuditFailed, write_audit_publish
+
+        t = _table(cat, "wap")
+        snap = write_audit_publish(
+            spark, t, spark.createDataFrame([(1, "a")], "id bigint, cat string"),
+            [("not_null", "id")])
+        assert snap["added_rows"] == 1 and all(
+            r["passed"] for r in snap["audit"])
+        with pytest.raises(AuditFailed):
+            write_audit_publish(
+                spark, t,
+                spark.createDataFrame([(None, "b")], "id bigint, cat string"),
+                [("not_null", "id")])
+        assert t.read(spark).count() == 1

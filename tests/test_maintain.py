@@ -156,3 +156,15 @@ class TestEraseBatch:
         snap = cat.table("sink_user").current_snapshot()
         assert snap.get("deletes") == []
         assert cat.table("sink_user").read(spark).count() == 20
+
+    def test_tag_via_maintain(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        cat = IcepackCatalog(str(tmp_path))
+        t = cat.table("s")
+        t.append(spark.range(2).select(F.col("id").alias("k")))
+        rep = maintain(spark, str(tmp_path), create_tag="release-1")
+        assert rep["tables"]["s"]["tagged"] == {"release-1": 1}
+        t.append(spark.range(5).select(F.col("id").alias("k")))
+        t.expire_snapshots(keep_last=1)
+        assert cat.table("s").read(spark, tag="release-1").count() == 2
