@@ -295,3 +295,19 @@ class TestKeyFileOrphanGC:
         assert not os.path.isdir(dead)
         assert os.path.isdir(live_kf)  # referenced → untouched
         assert t.read(spark).filter("user = 'u1'").count() == 0  # mask intact
+
+
+class TestMaskPlanShape:
+    def test_key_mask_is_broadcast_join(self, spark, tmp_path):
+        """The equality-delete mask must never shuffle the corpus: the
+        key file joins as a BroadcastHashJoin (plan-asserted), and the
+        predicate mask stays a pure filter."""
+        t = IcepackCatalog(str(tmp_path)).table("p")
+        t.append(spark.createDataFrame(
+            [(i, f"u{i % 5}") for i in range(100)], "k bigint, user string"))
+        t.delete_keys(spark, spark.createDataFrame([("u1",)], "user string"),
+                      ["user"])
+        t.delete_where(spark, [("k", "<", 10)], mode="mor")
+        plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" not in plan
