@@ -274,3 +274,14 @@ class TestCASCommitProtocol:
                 spark.createDataFrame([(None, "b")], "id bigint, cat string"),
                 [("not_null", "id")])
         assert t.read(spark).count() == 1
+
+    def test_delete_keys_on_cas_store(self, spark, cat):
+        t = _table(cat, "ek")
+        t.append(spark.createDataFrame(
+            [(1, "u1"), (2, "u2"), (3, "u1")], "k bigint, user string"))
+        t.delete_keys(spark, spark.createDataFrame([("u1",)], "user string"),
+                      ["user"])
+        assert sorted(r["k"] for r in t.read(spark).collect()) == [2]
+        t.compact(spark)
+        assert _table(cat, "ek").current_snapshot().get("deletes") == []
+        assert t.read(spark).count() == 1
