@@ -1401,6 +1401,46 @@ class IcepackTable:
             out = out.unionByName(p)
         return out
 
+    def snapshot_diff(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Content-level diff between ANY two snapshots — the
+        audit-grade fallback when read_changelog raises on a
+        copy-on-write rewrite (the `process(None, ...)` resync path of
+        streaming.follow): rows in `to` but not `from` come back as
+        _change_type='insert', rows in `from` but not `to` as
+        'delete' (bag semantics — exceptAll both ways, duplicates
+        diffed by multiplicity). from_snapshot_id=None diffs against
+        the empty table.
+
+        Cost model: this is a full content comparison — one shuffle of
+        BOTH snapshots on all columns. Correct for any operation
+        history, priced accordingly; the changelog scan is the cheap
+        path and this is the recovery path. Columns are projected to
+        `to`'s schema (evolution-safe)."""
+        to_snap = (self.snapshot(to_snapshot_id) if to_snapshot_id is not None
+                   else self.current_snapshot())
+        if to_snap is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        schema = T.StructType.fromJson(json.loads(to_snap["schema"]))
+        new = self.read(spark, snapshot_id=to_snap["snapshot_id"])
+        if from_snapshot_id is None:
+            old = spark.createDataFrame([], schema)
+        else:
+            old = self.read(spark, snapshot_id=from_snapshot_id)
+        cols = [
+            F.col(f.name).cast(f.dataType) if f.name in old.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        old = old.select(*cols)
+        ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels)
+
     def read_incremental(
         self,
         spark: SparkSession,

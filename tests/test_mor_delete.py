@@ -311,3 +311,49 @@ class TestMaskPlanShape:
         plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") == 1
         assert "SortMergeJoin" not in plan
+
+
+class TestSnapshotDiff:
+    def test_diff_across_cow_rewrite(self, spark, tmp_path):
+        """The recovery path: a cow delete breaks changelog
+        attribution, but the content diff still reports exactly the
+        removed rows."""
+        t = IcepackCatalog(str(tmp_path)).table("d")
+        s1 = t.append(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k bigint, v string"))
+        t.delete_where(spark, [("k", "<", 3)])  # cow — changelog raises
+        t.append(spark.createDataFrame([(99, "new")], "k bigint, v string"))
+        from swarm_spark.tablestore import IncrementalReadError
+        import pytest as _pt
+        with _pt.raises(IncrementalReadError):
+            t.read_changelog(spark, s1["snapshot_id"])
+        diff = t.snapshot_diff(spark, s1["snapshot_id"])
+        got = sorted((r["k"], r["_change_type"]) for r in diff.collect())
+        assert got == [(0, "delete"), (1, "delete"), (2, "delete"),
+                       (99, "insert")]
+
+    def test_diff_from_empty_and_bag_semantics(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("d2")
+        t.append(spark.createDataFrame([(1,), (1,), (2,)], "k bigint"))
+        diff = t.snapshot_diff(spark, None)
+        ks = sorted(r["k"] for r in diff.collect())
+        assert ks == [1, 1, 2]  # duplicates preserved (bag diff)
+        t.delete_where(spark, [("k", "=", 1)])
+        diff2 = t.snapshot_diff(spark, 1)
+        got = sorted((r["k"], r["_change_type"]) for r in diff2.collect())
+        assert got == [(1, "delete"), (1, "delete")]
+
+    def test_diff_equals_changelog_on_attributable_history(self, spark, tmp_path):
+        """Where the changelog IS attributable, the content diff must
+        agree with it (net of change types)."""
+        t = IcepackCatalog(str(tmp_path)).table("d3")
+        s1 = t.append(spark.createDataFrame(
+            [(i, f"u{i % 3}") for i in range(12)], "k bigint, user string"))
+        t.delete_where(spark, [("k", ">=", 8)], mode="mor")
+        t.append(spark.createDataFrame([(100, "x")], "k bigint, user string"))
+        ch = t.read_changelog(spark, s1["snapshot_id"]) \
+            .select("k", "user", "_change_type")
+        diff = t.snapshot_diff(spark, s1["snapshot_id"]) \
+            .select("k", "user", "_change_type")
+        assert sorted(map(tuple, ch.collect())) == \
+            sorted(map(tuple, diff.collect()))
