@@ -1348,6 +1348,34 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type", "_commit_snapshot_id")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level snapshot diff (tablestore.snapshot_diff), the
+    recovery path when a cow rewrite breaks changelog attribution:
+    append the first three doc_id quartiles → COW-delete (doc_id in
+    the middle half AND n_chars < 300 — a rewrite, so read_changelog
+    would raise) → append the last quartile. The diff against the
+    first snapshot reports exactly the removed rows as deletes and
+    the tail batch as inserts, which the oracle recomputes
+    set-wise."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    q = (mx - mn + 1) // 4
+    lo, hi = mn + q, mn + 3 * q
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="sdiff_wh_")).table("documents")
+    base = docs.filter(F.col("doc_id") < hi)
+    s1 = t.append(base)
+    t.delete_where(spark, [("doc_id", ">=", lo), ("doc_id", "<", hi),
+                           ("n_chars", "<", 300)])  # cow rewrite
+    t.append(docs.filter(F.col("doc_id") >= hi))
+    return t.snapshot_diff(spark, s1["snapshot_id"]).select(
+        "doc_id", "lang", "source", "n_chars", "_change_type")
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish gate (swarm_spark/wap.py over tablestore
     stage/publish): the documents batch is STAGED (invisible), audited
@@ -1428,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "erase_keys": q_erase_keys,
     "wap_publish": q_wap_publish,
     "changelog": q_changelog,
+    "snapshot_diff": q_snapshot_diff,
     "cow_update": q_cow_update,
     "file_skip": q_file_skip,
     "bm25": q_bm25,
@@ -2251,6 +2280,22 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS _commit_snapshot_id
             FROM documents, b
             WHERE doc_id <= b.mid AND n_chars % 11 = 0
+        """,
+        "snapshot_diff": """
+            WITH b AS (
+              SELECT min(doc_id) AS mn,
+                     (max(doc_id) - min(doc_id) + 1) // 4 AS q
+              FROM documents)
+            SELECT doc_id, lang, source, n_chars,
+                   'delete' AS _change_type
+            FROM documents, b
+            WHERE doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
+              AND n_chars < 300
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars,
+                   'insert' AS _change_type
+            FROM documents, b
+            WHERE doc_id >= b.mn + 3 * b.q
         """,
         "wap_publish": """
             SELECT doc_id, lang, source, n_chars,
