@@ -1450,7 +1450,46 @@ def q_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "quality")
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dir-scoped copy-on-write MERGE (tablestore.merge_upsert, the
+    Iceberg/Delta MERGE INTO shape): documents land as four
+    doc_id-quartile appends; the upsert batch UPDATES every 5th doc in
+    the middle half (n_chars doubled+1) and INSERTS brand-new docs
+    (doc_id offset past max). File stats scope the rewrite to the two
+    middle quartiles — the outer quartiles carry into the new snapshot
+    untouched (asserted), and the new keys match nothing so they cost
+    no rewrite at all. The oracle recomputes the anti-join + union
+    MERGE semantics over the same incoming set. The reference's sinks
+    are append-only (pkg/infra/bq/client.go) — MERGE is the lakehouse
+    completion for mutable dimension tables (latest-state profiles)."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    q = (mx - mn + 1) // 4
+    lo, hi = mn + q, mn + 3 * q
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="merge_wh_")).table("documents")
+    bounds = [mn, lo, mn + 2 * q, hi, mx + 1]
+    for a, b in zip(bounds, bounds[1:]):
+        t.append(docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b)))
+    incoming = docs.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi) & (F.col("doc_id") % 5 == 0)
+    ).withColumn("n_chars", F.col("n_chars") * 2 + 1).unionByName(
+        docs.filter(F.col("doc_id") % 17 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(mx - mn + 1)))
+    snap = t.merge_upsert(spark, incoming, keys=["doc_id"])
+    if snap["dirs_untouched"] < 2:  # outer quartiles must be stat-pruned
+        raise AssertionError(f"merge dir scoping failed: {snap}")
+    if snap["rows_inserted"] <= 0 or snap["rows_matched"] <= 0:
+        raise AssertionError(f"merge accounting failed: {snap}")
+    return t.read(spark).select("doc_id", "lang", "source", "n_chars")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "merge_upsert": q_merge_upsert,
     "cow_delete": q_cow_delete,
     "mor_delete": q_mor_delete,
     "erase_keys": q_erase_keys,
@@ -2248,6 +2287,26 @@ def _oracle_sql() -> dict[str, str]:
             FROM t, tot
             GROUP BY token, n
             HAVING count(*) * 1000000 >= 20000 * n
+        """,
+        "merge_upsert": """
+            WITH b AS (
+              SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+                     (max(doc_id) - min(doc_id) + 1) // 4 AS q
+              FROM documents),
+            inc AS (
+              SELECT doc_id, lang, source, n_chars * 2 + 1 AS n_chars
+              FROM documents, b
+              WHERE doc_id >= b.mn + b.q AND doc_id < b.mn + 3 * b.q
+                AND doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + (b.mx - b.mn + 1) AS doc_id,
+                     lang, source, n_chars
+              FROM documents, b
+              WHERE doc_id % 17 = 0)
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM inc)
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars FROM inc
         """,
         "cow_delete": """
             WITH d AS (

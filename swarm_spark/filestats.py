@@ -314,6 +314,8 @@ def prune_files(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], in
                 paths.append(os.path.join(d, rel))
                 continue
             cols, rows = fstats["cols"], fstats["rows"]
+            if rows == 0:
+                continue  # empty part file contributes no rows — always prunable
             survive = True
             for pred in predicates:
                 col, op = pred[0], pred[1]
@@ -465,4 +467,61 @@ def affected_dirs(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], 
     for d in dirs:
         paths, _total, kept = prune_files([d], predicates)
         (affected if paths else untouched).append(d)
+    return affected, untouched
+
+
+def dirs_matching_keys(dirs: list[str], col: str,
+                       sorted_vals: list) -> tuple[list[str], list[str]]:
+    """Partition dirs into (affected, untouched) for an EXACT key set:
+    a dir is untouched only when every file's stats prove that NO
+    value in `sorted_vals` (ascending, non-null, homogeneous int or
+    str) can appear in the file's `col`. This is the dir-scoping a
+    copy-on-write MERGE uses — tighter than a [min,max] range
+    predicate when incoming keys are sparse (a range straddling a dir
+    that contains none of the keys still prunes here, via one bisect
+    per file interval).
+
+    Soundness mirrors _maybe_matches for `=`:
+    * no sidecar / no stats for the column / unknown tag ⇒ affected;
+    * an all-null file (nulls == rows) cannot equal any key ⇒ skippable;
+    * a truncated string max is stored as None (unbounded above) and
+      keeps the file affected whenever any key ≥ its min;
+    * type mismatch between keys and bounds ⇒ affected (never prune on
+      an incomparable literal)."""
+    from bisect import bisect_left
+
+    if not sorted_vals:
+        return [], list(dirs)
+    affected: list[str] = []
+    untouched: list[str] = []
+    want = str if isinstance(sorted_vals[0], str) else int
+    for d in dirs:
+        stats = load_dir_stats(d)
+        hit = False
+        if not stats or not stats.get("files"):
+            hit = True
+        else:
+            for fstats in stats["files"].values():
+                if fstats is None:
+                    hit = True
+                    break
+                if fstats["rows"] == 0:
+                    continue  # empty part file: nothing to match
+                entry = fstats["cols"].get(col)
+                if entry is None:
+                    hit = True
+                    break
+                mn, mx, nulls, tag = entry
+                if nulls is not None and nulls == fstats["rows"]:
+                    continue  # all-null file: equality never matches
+                if tag not in ("i64", "str") or (
+                    mn is not None and not isinstance(mn, want)
+                ):
+                    hit = True  # incomparable bounds — never prune
+                    break
+                i = 0 if mn is None else bisect_left(sorted_vals, mn)
+                if i < len(sorted_vals) and (mx is None or sorted_vals[i] <= mx):
+                    hit = True
+                    break
+        (affected if hit else untouched).append(d)
     return affected, untouched

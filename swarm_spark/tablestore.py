@@ -639,50 +639,161 @@ class IcepackTable:
         return {"expired": len(drop), "data_dirs_removed": removed}
 
     def merge_upsert(self, spark: SparkSession, df: DataFrame, keys: list[str],
-                     max_retries: int = 10) -> dict:
+                     max_retries: int = 10, keys_cap: int = 200_000) -> dict:
         """MERGE INTO analogue (upsert by key): incoming rows replace
-        same-key rows, others are kept. No Delta/Iceberg jars in this
-        container, so the implementation is the standard anti-join +
-        union rewrite committed atomically as a new snapshot:
+        same-key rows, others are inserted. No Delta/Iceberg jars in
+        this container, so the semantics are the standard anti-join +
+        union committed atomically as a new snapshot:
 
             kept  = current ANTI JOIN incoming ON keys
             next  = kept UNION BY NAME incoming   (schema evolution ok)
 
-        The rewrite is recomputed from scratch if a concurrent append
-        lands between read and commit (CommitConflict) — otherwise the
-        overwrite would silently drop the appended rows.
-        """
+        The rewrite is DIR-SCOPED like delete_where/update_where's
+        copy-on-write DML (the Iceberg/Delta CoW MERGE shape): only
+        dirs whose file stats admit a row matching an incoming key are
+        scanned and rewritten; every other dir carries into the new
+        snapshot untouched. Scoping is two-stage —
+        1. range: conjunctive [min,max] bounds of the incoming keys
+           (every key column, any stats tag);
+        2. exact (single int/str key, ≤ keys_cap distinct values): the
+           sorted incoming key set is bisected against each file's
+           interval, so sparse keys prune dirs a range straddles
+           (filestats.dirs_matching_keys).
+        On a clustered 100 TB table an upsert batch touches the
+        sliver of files its keys live in, not the table. NULL incoming
+        keys match no current row (SQL equality) and simply insert.
+        Pending merge-on-read masks are folded into rewritten dirs and
+        carried narrowed on untouched ones, like every other rewrite.
+
+        A concurrent append between read and commit aborts the commit
+        (CommitConflict, op='merge') and the merge recomputes from the
+        new CURRENT — otherwise it would silently drop the appended
+        rows. Returns the snapshot plus dirs_rewritten /
+        dirs_untouched / rows_matched / rows_inserted.
+
+        Reference analogue: the reference's sinks are append-only
+        (pkg/infra/bq/client.go) — MERGE is the lakehouse completion
+        of the K1 commit family for mutable dimensions (entity
+        profiles, latest-state tables)."""
+        import shutil
+
         incoming = df
         for _ in range(max_retries):
-            if self.exists():
-                current = self.read(spark)
-                schema = merge_schemas(
-                    T.StructType.fromJson(json.loads(self.current_snapshot()["schema"])),
-                    incoming.schema,
-                )
-                kept = current.join(incoming.select(*keys).distinct(), keys, "left_anti")
-                merged = kept.unionByName(incoming, allowMissingColumns=True)
-                cols = [
-                    F.col(f.name) if f.name in merged.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ]
-                merged = merged.select(*cols)
+            snap = self.current_snapshot()
+            if snap is None:
+                try:
+                    return self.overwrite(incoming, op="merge")
+                except CommitConflict:
+                    continue
+            schema = merge_schemas(
+                T.StructType.fromJson(json.loads(snap["schema"])),
+                incoming.schema,
+            )
+            dirs = snap["data_dirs"]
+            keyset = incoming.select(*keys).distinct()
+            affected, untouched = self._merge_scope(spark, keyset, keys,
+                                                    dirs, keys_cap)
+            pending = snap.get("deletes") or []
+            obs = None
+            if affected:
+                current = self._scan_dirs(spark, affected, keep_s=bool(pending))
+                if pending:
+                    current = self._apply_delete_masks(spark, current, pending)
+                for aux in ("_s", "_p"):
+                    if aux in current.columns:
+                        current = current.drop(aux)
+                kept = current.join(keyset, keys, "left_anti")
+                # survivor count rides the write job (no second scan)
+                obs = Observation()
+                kept = kept.observe(obs, F.count(F.lit(1)).alias("n"))
             else:
-                merged = incoming
-            prev = self.current_snapshot() or {}
-            try:
-                return self.overwrite(
-                    merged,
-                    partition_unit=prev.get("partition_unit", ""),
-                    ts_col=prev.get("ts_col", "timestamp"),
-                    op="merge",
+                kept = spark.createDataFrame([], schema)
+            merged = kept.unionByName(incoming, allowMissingColumns=True)
+            cols = [
+                F.col(f.name) if f.name in merged.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            merged = merged.select(*cols)
+            sidecars = [filestats.load_dir_stats(d) for d in affected]
+            if all(s and s.get("files") for s in sidecars):
+                before = sum(
+                    f["rows"] for s in sidecars for f in s["files"].values()
                 )
+            else:
+                before = None  # fall back to the observation after the write
+            ddir, n_written = self._write_data(
+                merged, snap.get("partition_unit", ""),
+                snap.get("ts_col", "timestamp"))
+            kept_n = int(obs.get["n"]) if obs is not None else 0
+            if before is None:
+                before = self._scan_dirs(spark, affected).count() if affected else 0
+            new = {
+                "parent": snap["snapshot_id"],
+                "op": "merge",
+                "data_dirs": untouched + ([ddir] if n_written else []),
+                "schema": json.dumps(schema.jsonValue()),
+                "partition_unit": snap.get("partition_unit", ""),
+                "ts_col": snap.get("ts_col", "timestamp"),
+                "row_count": snap.get("row_count", 0) - before + n_written,
+                "added_rows": 0,
+                "committed_at": time.time(),
+                "snapshot_id": None,
+                "deletes": self._narrow_deletes(pending, untouched),
+            }
+            for key, val in snap.items():  # user metadata carries forward
+                if not key.startswith("_"):
+                    new.setdefault(key, val)
+            try:
+                self._commit(new)
+                if not n_written:
+                    shutil.rmtree(ddir, ignore_errors=True)
+                new["dirs_rewritten"] = len(affected)
+                new["dirs_untouched"] = len(untouched)
+                new["rows_matched"] = before - kept_n
+                new["rows_inserted"] = n_written - kept_n - (before - kept_n)
+                return new
             except CommitConflict:
+                shutil.rmtree(ddir, ignore_errors=True)  # stale rewrite
                 continue
         raise CommitConflict(
             f"merge on table {self.name} kept losing to concurrent commits"
         )
+
+    def _merge_scope(self, spark: SparkSession, keyset: DataFrame,
+                     keys: list[str], dirs: list[str],
+                     keys_cap: int) -> tuple[list[str], list[str]]:
+        """(affected, untouched) dirs for a merge's incoming key set.
+        Stage 1: per-key-column [min,max] range predicates through
+        affected_dirs (any stats tag). Stage 2: for a single int/str
+        key with ≤ keys_cap distinct values, refine the survivors with
+        the exact sorted key set (dirs_matching_keys) — refinement is
+        monotone, so it can only move dirs from affected to untouched.
+        Incoming rows whose key is NULL match no current row, so the
+        bounds ignore them (F.min/max already do)."""
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"_mn_{k}"), F.max(k).alias(f"_mx_{k}"),
+                     F.count(k).alias(f"_n_{k}")]
+        b = keyset.agg(*aggs).first()
+        if all(b[f"_mn_{k}"] is None for k in keys):
+            return [], list(dirs)  # only NULL keys: nothing can match
+        preds = []
+        for k in keys:
+            if b[f"_mn_{k}"] is not None:
+                preds += [(k, ">=", b[f"_mn_{k}"]), (k, "<=", b[f"_mx_{k}"])]
+        affected, untouched = filestats.affected_dirs(dirs, preds)
+        if (len(keys) == 1 and affected
+                and isinstance(b[f"_mn_{keys[0]}"], (int, str))
+                and not isinstance(b[f"_mn_{keys[0]}"], bool)
+                and b[f"_n_{keys[0]}"] <= keys_cap):
+            vals = sorted(
+                r[0] for r in keyset.filter(F.col(keys[0]).isNotNull()).collect()
+            )
+            affected, more = filestats.dirs_matching_keys(
+                affected, keys[0], vals)
+            untouched += more
+        return affected, untouched
 
     def compact(self, spark: SparkSession, target_files: int | None = None,
                 max_retries: int = 10,
