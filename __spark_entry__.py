@@ -1488,7 +1488,43 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom-filter point read (tablestore.build_blooms +
+    blooms.py, the parquet split-block-bloom / Iceberg-puffin shape):
+    documents are STRIPED into four dirs by doc_id % 4, so every dir's
+    [min,max] spans the whole key space and range stats keep at least
+    one file per dir for any point probe; per-file blooms then prove
+    which files the probed ids were never written to. Asserted
+    in-query: the bloom'd prune keeps strictly fewer files than stats
+    alone. The oracle recomputes the same IN-list over the documents
+    view — the read(prune) ≡ read().filter() contract extended to
+    bloom skipping. At 100 TB this is the needle-in-haystack read: one
+    conversation out of billions schedules a handful of tasks."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="bloom_wh_")).table("documents")
+    for i in range(4):
+        t.append(docs.filter(F.col("doc_id") % 4 == i))
+    # probes snapped to ONE stripe (≡ 0 mod 4): they were only ever
+    # written to dir 0, so blooms can prove absence in the other dirs
+    raw = [mn + (k * (mx - mn)) // 7 for k in range(7)]
+    ids = sorted({v - v % 4 for v in raw})
+    before = t.prune_report([("doc_id", "in", ids)])
+    t.build_blooms(spark, ["doc_id"])
+    after = t.prune_report([("doc_id", "in", ids)])
+    if not after["files_kept"] < before["files_kept"]:
+        raise AssertionError(f"blooms did not prune: {before} -> {after}")
+    return t.read(spark, prune=[("doc_id", "in", ids)]).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bloom_point_read": q_bloom_point_read,
     "merge_upsert": q_merge_upsert,
     "cow_delete": q_cow_delete,
     "mor_delete": q_mor_delete,
@@ -2287,6 +2323,17 @@ def _oracle_sql() -> dict[str, str]:
             FROM t, tot
             GROUP BY token, n
             HAVING count(*) * 1000000 >= 20000 * n
+        """,
+        "bloom_point_read": """
+            WITH b AS (
+              SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            raw AS (
+              SELECT b.mn + (t.k * (b.mx - b.mn)) // 7 AS v
+              FROM b, (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(k)),
+            probes AS (SELECT v - v % 4 AS pid FROM raw)
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id IN (SELECT pid FROM probes)
         """,
         "merge_upsert": """
             WITH b AS (

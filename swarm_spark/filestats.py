@@ -300,6 +300,9 @@ def prune_files(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], in
     for p in predicates:
         if len(p) < 2 or p[1] not in _OPS:
             raise ValueError(f"bad predicate {p!r} — (col, op[, value]) with op in {_OPS}")
+    from swarm_spark import blooms as _blooms
+
+    want_bloom = any(p[1] in ("=", "==", "in") for p in predicates)
     paths: list[str] = []
     total = kept = 0
     for d in dirs:
@@ -307,6 +310,7 @@ def prune_files(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], in
         if not stats or not stats.get("files"):
             paths.append(d)
             continue
+        dblooms = _blooms.load_dir_blooms(d) if want_bloom else None
         for rel, fstats in stats["files"].items():
             total += 1
             if fstats is None:
@@ -325,6 +329,10 @@ def prune_files(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], in
                 if not _maybe_matches(entry, rows, op, pred[2] if len(pred) > 2 else None):
                     survive = False
                     break
+            if survive and dblooms is not None:
+                # min/max passed — a per-file bloom can still prove an
+                # equality literal was never written to this file
+                survive = _blooms.file_maybe_matches(dblooms, rel, predicates)
             if survive:
                 kept += 1
                 paths.append(os.path.join(d, rel))

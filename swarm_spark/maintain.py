@@ -83,7 +83,8 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
              erase_batch_id: str | None = None,
              erase_mode: str = "cow",
              fold_deletes_above: int | None = None,
-             create_tag: str | None = None) -> dict:
+             create_tag: str | None = None,
+             bloom_cols: list[str] | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from swarm_spark.incremental import refresh_agg
@@ -124,6 +125,13 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
         if gc_orphans_older_than is not None:
             entry["orphans"] = t.remove_orphan_files(
                 older_than_sec=gc_orphans_older_than)
+        if bloom_cols:
+            # point-read acceleration: per-file equality blooms for
+            # whichever of the requested key columns this table has
+            bc = [c for c in bloom_cols
+                  if c in {f.name for f in t.schema().fields}]
+            if bc:
+                entry["blooms"] = t.build_blooms(spark, bc)
         if create_tag:
             # release automation: pin CURRENT (post-maintenance) under
             # the given name — expire never drops it (tablestore tags)
@@ -167,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fold-deletes-above", type=int, default=None,
                     help="compact any table carrying more than N pending "
                          "merge-on-read delete entries (folds masks into data)")
+    ap.add_argument("--bloom-cols", nargs="*", default=None,
+                    help="build per-file equality bloom filters for these "
+                         "columns on every table that has them (point-read "
+                         "file skipping on unclustered keys)")
     ap.add_argument("--cluster-by", nargs="*", default=None,
                     help="sort-cluster compaction rewrites on these columns "
                          "(columns absent from a table are skipped for it) — "
@@ -189,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         erase_mode=args.erase_mode,
         fold_deletes_above=args.fold_deletes_above,
         create_tag=args.tag,
+        bloom_cols=args.bloom_cols,
     )
     print(json.dumps(report))
     return 0

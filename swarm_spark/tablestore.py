@@ -1613,6 +1613,37 @@ class IcepackTable:
         ]
         return df.select(*cols)
 
+    def build_blooms(self, spark: SparkSession, cols: list[str],
+                     m_bytes: int = 32 * 1024, k: int = 6,
+                     overwrite: bool = False) -> dict:
+        """Build per-file bloom filters for `cols` on every CURRENT
+        data dir that lacks them (blooms.collect_dir_blooms — one
+        distributed hash job per dir). Makes read(prune=[(col,'=',v)])
+        a needle-in-haystack point read on UNCLUSTERED high-cardinality
+        keys, where min/max stats cannot prune (every file's range
+        spans the key space). Idempotent per dir; new dirs from later
+        appends/rewrites simply don't prune until the next build — a
+        maintenance action, like compaction (maintain.py
+        --bloom-cols). A real deployment computes these in the write
+        tasks and commits them with the manifest (Iceberg puffin);
+        building post-hoc is the local-fs analogue, priced at one scan
+        of the dirs that lack blooms."""
+        from swarm_spark import blooms as _blooms
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        built = skipped = 0
+        for d in snap["data_dirs"]:
+            if not overwrite and _blooms.load_dir_blooms(d) is not None:
+                skipped += 1
+                continue
+            out = _blooms.collect_dir_blooms(
+                spark, d, cols, m_bytes=m_bytes, k=k, overwrite=overwrite)
+            built += 1 if out is not None else 0
+        return {"dirs_built": built, "dirs_already": skipped,
+                "dirs_total": len(snap["data_dirs"])}
+
     def prune_report(self, predicates: list[tuple],
                      snapshot_id: int | None = None) -> dict:
         """Dry-run of file skipping for a conjunctive predicate:
