@@ -1073,6 +1073,27 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, iterations=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semantic_dedup_keep, Abbas et al.
+    2023): integer-exact kmeans partitions the embedding space, then
+    every vector cosine-similar (≥0.999, integer signed-squared-cosine
+    score) to a lower-id vector in its cluster is dropped. The corpus
+    is embeddings + exact copies of the first 10 vectors at offset
+    ids — the copies land in the originals' clusters and must all be
+    dropped; natural near-dups are engine-agnostic by the integer
+    score. The oracle unrolls the same kmeans rounds as CTEs and
+    recomputes the same within-cluster pair drop. Candidate pairs are
+    cluster-bounded — never all-pairs — the corpus-scale shape."""
+    from swarm_spark.operators.dedup import semantic_dedup_keep
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000))
+    return semantic_dedup_keep(emb.unionByName(dup), k=8, iterations=2,
+                               threshold=0.999)
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations over events: six rules (two designed
     to FAIL on this corpus — the 'error' event_type and >100 values)
@@ -1538,6 +1559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "pagerank": q_pagerank,
     "kmeans": q_kmeans,
+    "semantic_dedup": q_semantic_dedup,
     "bm25_indexed": q_bm25_indexed,
     "expectations": q_expectations,
     "quality_model": q_quality_model,
@@ -1918,12 +1940,14 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
         rounds.append(assign(r))
         rounds.append(update(r))
     rounds.append(assign(iterations))
+    source = "SELECT vec_id, embedding FROM embeddings"
     return f"""
-        WITH vecs AS (
+        WITH src AS ({source}),
+        vecs AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-          FROM embeddings),
+          FROM src),
         c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
           FROM (SELECT vec_id, q FROM vecs ORDER BY vec_id LIMIT {k})),
@@ -1931,6 +1955,55 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                CAST(dist AS BIGINT) AS dist
         FROM a{iterations} WHERE rn = 1
+    """
+
+
+def _semdedup_oracle(k: int = 8, iterations: int = 2, dim: int = 64,
+                     # same float path as semantic_dedup_keep's
+                     # int(1e6·t·t) so engine and oracle share the
+                     # exact integer threshold (998000 for t=0.999)
+                     threshold_q: int = int(1_000_000 * 0.999 * 0.999),
+                     scale: int = 128) -> str:
+    """SemDeDup oracle: the unrolled kmeans CTEs (same rounds as
+    _kmeans_oracle) over embeddings + offset duplicate copies, then
+    the within-cluster integer signed-squared-cosine pair drop —
+    mirror of operators/dedup.semantic_dedup_keep."""
+    km = _kmeans_oracle(k=k, iterations=iterations, dim=dim)
+    # swap the source for the duplicated corpus and retarget the final
+    # select into an assignment CTE we can join against
+    src = ("SELECT vec_id, embedding FROM embeddings "
+           "UNION ALL SELECT vec_id + 1000000, embedding "
+           "FROM embeddings WHERE vec_id < 10")
+    km = km.replace("SELECT vec_id, embedding FROM embeddings", src, 1)
+    head, final = km.rsplit("SELECT vec_id, CAST(cluster AS BIGINT)", 1)
+    return f"""{head}
+        , asg AS (
+          SELECT vec_id, cluster FROM a{iterations} WHERE rn = 1),
+        qv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+          FROM src),
+        n2 AS (
+          SELECT vec_id, qv,
+                 list_sum(list_transform(qv, x -> x * x)) AS n2
+          FROM qv),
+        pairs AS (
+          SELECT bb.vec_id AS dropped,
+                 sum(va.qv[t.i] * vb.qv[t.i]) AS d,
+                 any_value(va.n2) * any_value(vb.n2) AS nn
+          FROM asg aa
+          JOIN asg bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+          JOIN n2 va ON va.vec_id = aa.vec_id
+          JOIN n2 vb ON vb.vec_id = bb.vec_id,
+          range(1, {dim + 1}) t(i)
+          GROUP BY aa.vec_id, bb.vec_id),
+        dropped AS (
+          SELECT DISTINCT dropped AS vec_id FROM pairs
+          WHERE (CASE WHEN d >= 0 THEN 1 ELSE -1 END)
+                * ((1000000 * d * d) // nn) >= {threshold_q})
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+        FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     """
 
 
@@ -2222,6 +2295,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(),
         "kmeans": _kmeans_oracle(),
+        "semantic_dedup": _semdedup_oracle(),
         "expectations": """
             SELECT rule, target, checked, violations,
                    violations = 0 AS passed

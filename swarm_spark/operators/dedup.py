@@ -754,3 +754,83 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 128,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then drop every vector whose cosine similarity to
+    a LOWER-ID vector in the SAME cluster reaches `threshold` —
+    semantic near-dups that no lexical dedup catches, at a cost that
+    never goes all-pairs: clustering bounds the candidate self-join to
+    within-cluster pairs, the published trick for corpus scale (pick
+    k so n/k keeps clusters comfortably under max_cluster).
+
+    Deterministic and cross-engine exact end to end: clustering is the
+    integer-quantized kmeans (clustering.py — bit-identical across
+    engines/partitionings), and similarity is the signed-squared-cosine
+    integer score from similarity.py (score_q = sign·(1e6·<qa,qb>²)
+    div (|qa|²|qb|²) on round(v·scale) vectors), so the keep set is
+    hash-verifiable against a SQL oracle. Keep rule: lowest id in each
+    pairwise-similar relation survives (same keep-first convention as
+    minhash_dedup_keep).
+
+    Guard rail: if any cluster exceeds max_cluster the within-cluster
+    join would blow up quadratically — raise with the measured size
+    instead of silently running a superlinear plan (the simhash
+    hot-bucket guard, applied to clusters).
+
+    Returns (id_col, cluster) for survivors."""
+    from swarm_spark.operators.clustering import kmeans
+    from swarm_spark.operators.similarity import dot_q, quantize_vec
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [0, 1]")
+    threshold_q = int(1_000_000 * threshold * threshold)
+    assigned = kmeans(df, k=k, iterations=iterations,
+                      vec_col=vec_col, id_col=id_col).select(id_col, "cluster")
+    sizes = assigned.groupBy("cluster").count().agg(
+        F.max("count").alias("mx")).first()
+    if sizes["mx"] is not None and sizes["mx"] > max_cluster:
+        raise ValueError(
+            f"semantic_dedup_keep: largest cluster has {sizes['mx']} vectors "
+            f"(> max_cluster={max_cluster}); increase k — the within-cluster "
+            f"join is quadratic in cluster size"
+        )
+    qv = quantize_vec(F.col(vec_col), scale)
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        qv.alias("_q"),
+        dot_q(qv, qv).alias("_n2"),
+    ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("b._id").alias("_id"),
+            dot_q(F.col("a._q"), F.col("b._q")).alias("_d"),
+            (F.col("a._n2") * F.col("b._n2")).alias("_nn"),
+        )
+        .select(
+            "_id",
+            (F.when(F.col("_d") >= 0, 1).otherwise(-1)
+             * F.expr("(1000000 * _d * _d) div _nn")).alias("_sq"),
+        )
+        .filter(F.col("_sq") >= threshold_q)
+        .select("_id")
+        .distinct()
+    )
+    return (
+        assigned.withColumnRenamed(id_col, "_id")
+        .join(dropped, "_id", "left_anti")
+        .select(F.col("_id").alias(id_col), "cluster")
+    )
