@@ -157,3 +157,51 @@ class TestTableBlooms:
             fh.write("{not json")
         got = t.read(spark, prune=[("id", "=", 17)]).collect()
         assert [r.id for r in got] == [17]
+
+
+class TestPropertyNoFalseNegatives:
+    """Hypothesis: for ANY value set and ANY probe drawn from it, a
+    bloom built from the set always says maybe — the soundness half of
+    the contract (the other half, false positives, only costs I/O)."""
+
+    def test_random_int_sets(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        import numpy as np
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.sets(st.integers(-2**62, 2**62), min_size=1, max_size=200),
+               st.sampled_from([256, 1024, 8192]),
+               st.integers(1, 8))
+        def prop(vals, m_bits, k):
+            arr = np.zeros(m_bits // 8, dtype=np.uint8)
+            for v in vals:
+                for pos in blooms.positions(blooms.canonical(v), m_bits, k):
+                    arr[pos >> 3] |= 1 << (pos & 7)
+            packed = arr.tobytes()
+            for v in vals:
+                assert blooms.maybe_contains(
+                    packed, m_bits, k, blooms.canonical(v))
+
+        prop()
+
+    def test_random_str_sets(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        import numpy as np
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.sets(st.text(min_size=0, max_size=40), min_size=1,
+                       max_size=100))
+        def prop(vals):
+            m_bits, k = 2048, 6
+            arr = np.zeros(m_bits // 8, dtype=np.uint8)
+            for v in vals:
+                for pos in blooms.positions(blooms.canonical(v), m_bits, k):
+                    arr[pos >> 3] |= 1 << (pos & 7)
+            packed = arr.tobytes()
+            for v in vals:
+                assert blooms.maybe_contains(
+                    packed, m_bits, k, blooms.canonical(v))
+
+        prop()
