@@ -1509,6 +1509,43 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT pushdown (tablestore.count_where, the
+    Iceberg manifest-count shape): events land as four event_id-
+    quartile appends; three range counts are answered from file stats
+    plus boundary-file residual scans (asserted in-query: the full-
+    range probe decides EVERY file from metadata; the mid-range probes
+    scan at most half the files). The oracle recomputes the same
+    counts as plain SQL — COUNT answered from the driver vs scheduled
+    scan is the monitoring-query difference at 100 TB."""
+    import tempfile
+
+    from swarm_spark.tablestore import IcepackCatalog
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    q = (mx - mn + 1) // 4
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="cnt_wh_")).table("events")
+    bounds = [mn, mn + q, mn + 2 * q, mn + 3 * q, mx + 1]
+    for a, b in zip(bounds, bounds[1:]):
+        t.append(ev.filter((F.col("event_id") >= a) & (F.col("event_id") < b)))
+    probes = [
+        (0, [("event_id", ">=", mn)]),                              # full
+        (1, [("event_id", ">=", mn + q // 2),
+             ("event_id", "<", mn + 2 * q)]),                       # mid
+        (2, [("event_id", ">=", mn + 3 * q), ("event_id", "<", mn + 3 * q + 7)]),
+    ]
+    rows = []
+    for pid, preds in probes:
+        rep = t.count_where(spark, preds, report=True)
+        if pid == 0 and rep["residual_files"] != 0:
+            raise AssertionError(f"full-range probe scanned files: {rep}")
+        if rep["residual_files"] > rep["files_total"] // 2:
+            raise AssertionError(f"probe {pid} barely pruned: {rep}")
+        rows.append((pid, rep["count"]))
+    return spark.createDataFrame(rows, "probe bigint, n bigint")
+
+
 def q_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file bloom-filter point read (tablestore.build_blooms +
     blooms.py, the parquet split-block-bloom / Iceberg-puffin shape):
@@ -1546,6 +1583,7 @@ def q_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_point_read": q_bloom_point_read,
+    "meta_count": q_meta_count,
     "merge_upsert": q_merge_upsert,
     "cow_delete": q_cow_delete,
     "mor_delete": q_mor_delete,
@@ -2397,6 +2435,22 @@ def _oracle_sql() -> dict[str, str]:
             FROM t, tot
             GROUP BY token, n
             HAVING count(*) * 1000000 >= 20000 * n
+        """,
+        "meta_count": """
+            WITH b AS (
+              SELECT min(event_id) AS mn, max(event_id) AS mx,
+                     (max(event_id) - min(event_id) + 1) // 4 AS q
+              FROM events)
+            SELECT CAST(0 AS BIGINT) AS probe, count(*) AS n
+            FROM events, b WHERE event_id >= b.mn
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS probe, count(*) AS n
+            FROM events, b
+            WHERE event_id >= b.mn + b.q // 2 AND event_id < b.mn + 2 * b.q
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS probe, count(*) AS n
+            FROM events, b
+            WHERE event_id >= b.mn + 3 * b.q AND event_id < b.mn + 3 * b.q + 7
         """,
         "bloom_point_read": """
             WITH b AS (

@@ -291,6 +291,101 @@ def _maybe_matches(entry: list, rows: int, op: str, val) -> bool:
     raise ValueError(f"unknown predicate op {op!r} (supported: {_OPS})")
 
 
+def _definitely_matches(entry: list, rows: int, op: str, val) -> bool:
+    """Does EVERY row of a file with these bounds satisfy `col op val`?
+    The dual of _maybe_matches, used for metadata-only COUNT pushdown:
+    a file that definitely matches contributes its row count without
+    being opened. Strictly conservative — False just means "scan it".
+
+    * comparisons require nulls == 0 (a NULL row never satisfies one);
+    * floats: parquet min/max exclude NaN and Spark/DuckDB sort NaN
+      ABOVE every value, so NaN rows satisfy > / >= (provable) but
+      fail = / < / <= (never provable — NaN presence is invisible);
+    * a truncated string max (stored None) proves nothing upward;
+    * isnull is provable only for an all-null file."""
+    mn, mx, nulls, tag = entry
+    if op == "isnull":
+        return nulls is not None and nulls == rows
+    if op == "notnull":
+        return nulls == 0
+    if nulls != 0:  # unknown (None) or >0: some row fails the comparison
+        return False
+    try:
+        if op == "in":
+            return any(_definitely_matches(entry, rows, "=", v) for v in val)
+        v = _norm(val, tag)
+        if isinstance(v, float) and v != v:
+            return False  # NaN literal: never provable from bounds
+        if tag == "f64" and op in ("=", "<", "<="):
+            return False  # possible NaN rows fail these — invisible to stats
+        if op in ("=", "=="):
+            return mn is not None and mx is not None and mn == v and mx == v
+        if op == "<":
+            return mx is not None and mx < v
+        if op == "<=":
+            return mx is not None and mx <= v
+        if op == ">":
+            return mn is not None and mn > v
+        if op == ">=":
+            return mn is not None and mn >= v
+    except TypeError:
+        return False  # incomparable literal — just scan
+    raise ValueError(f"unknown predicate op {op!r} (supported: {_OPS})")
+
+
+def count_plan(dirs: list[str], predicates: list[tuple]) -> tuple[int, list[str], int, int]:
+    """Plan a metadata-first COUNT(*) WHERE <conjunctive predicates>:
+    returns (meta_rows, residual_paths, files_total, files_decided).
+    meta_rows sums files where every conjunct DEFINITELY matches every
+    row; files where some conjunct is impossible contribute 0; only
+    boundary files (and whole dirs without stats) land in
+    residual_paths for an actual scan. On a time/cluster-organized
+    table a range count is metadata plus the two boundary files —
+    Iceberg's manifest-count trick."""
+    for p in predicates:
+        if len(p) < 2 or p[1] not in _OPS:
+            raise ValueError(f"bad predicate {p!r} — (col, op[, value]) with op in {_OPS}")
+    meta_rows = 0
+    residual: list[str] = []
+    total = decided = 0
+    for d in dirs:
+        stats = load_dir_stats(d)
+        if not stats or not stats.get("files"):
+            residual.append(d)
+            continue
+        for rel, fstats in stats["files"].items():
+            total += 1
+            if fstats is None:
+                residual.append(os.path.join(d, rel))
+                continue
+            cols, rows = fstats["cols"], fstats["rows"]
+            if rows == 0:
+                decided += 1
+                continue
+            impossible = False
+            all_match = True
+            for pred in predicates:
+                col, op = pred[0], pred[1]
+                entry = cols.get(col)
+                lit = pred[2] if len(pred) > 2 else None
+                if entry is None:
+                    all_match = False  # no stats for the column — maybe
+                    continue
+                if not _maybe_matches(entry, rows, op, lit):
+                    impossible = True
+                    break
+                if not _definitely_matches(entry, rows, op, lit):
+                    all_match = False
+            if impossible:
+                decided += 1
+            elif all_match:
+                meta_rows += rows
+                decided += 1
+            else:
+                residual.append(os.path.join(d, rel))
+    return meta_rows, residual, total, decided
+
+
 def prune_files(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], int, int]:
     """Apply conjunctive predicates to every dir's sidecar stats.
     Returns (scan_paths, files_total, files_kept): scan_paths mixes

@@ -1644,6 +1644,53 @@ class IcepackTable:
         return {"dirs_built": built, "dirs_already": skipped,
                 "dirs_total": len(snap["data_dirs"])}
 
+    def count_where(self, spark: SparkSession,
+                    predicates: list[tuple] | None = None,
+                    report: bool = False) -> int | dict:
+        """Exact COUNT(*) [WHERE conjunctive predicates] answered from
+        metadata wherever the stats allow — Iceberg's manifest-count
+        pushdown. Per file: every conjunct DEFINITELY matches every row
+        (filestats._definitely_matches — dual of the pruning test) →
+        contribute `rows` without opening the file; some conjunct
+        impossible → contribute 0; otherwise the file is a BOUNDARY
+        file and lands in one residual Spark count. On a
+        time/cluster-organized 100 TB table a range count is pure
+        metadata plus the two boundary files — the difference between
+        answering monitoring queries from the driver and scheduling a
+        full scan.
+
+        No predicates and no pending delete masks → the maintained
+        snapshot row_count (O(1)). Pending merge-on-read masks make
+        per-file metadata counting unsound (masked rows are invisible
+        to footers), so the whole count falls back to the masked read
+        — correct first, fast when the table allows it."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        if snap.get("deletes"):
+            n = self.read(spark, prune=predicates).count()
+            return {"count": n, "meta_rows": 0, "residual_files": -1,
+                    "mode": "masked_fallback"} if report else n
+        if not predicates:
+            n = snap.get("row_count", 0)
+            return {"count": n, "meta_rows": n, "residual_files": 0,
+                    "mode": "snapshot"} if report else n
+        meta_rows, residual, total, decided = filestats.count_plan(
+            snap["data_dirs"], predicates)
+        scanned = 0
+        if residual:
+            df = spark.read.option("mergeSchema", "true").parquet(*residual)
+            scanned = df.filter(
+                F.coalesce(filestats.predicate_column(predicates),
+                           F.lit(False))).count()
+        n = meta_rows + scanned
+        if report:
+            return {"count": n, "meta_rows": meta_rows,
+                    "residual_files": len(residual),
+                    "files_total": total, "files_decided": decided,
+                    "mode": "metadata+residual"}
+        return n
+
     def prune_report(self, predicates: list[tuple],
                      snapshot_id: int | None = None) -> dict:
         """Dry-run of file skipping for a conjunctive predicate:
