@@ -1094,6 +1094,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.999)
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_train/pq_encode/
+    pq_topk, the PQ half of IVF-PQ — Jégou et al. 2011): 4 subspaces ×
+    16 codewords fit with the integer-exact Lloyd's rounds, vectors
+    compressed to 4 codes, query answered by ADC (one integer LUT per
+    subspace, m lookups per candidate — no float math in the scan).
+    Top-10 by exact int64 ADC distance, ties on id; the oracle unrolls
+    the entire pipeline as CTEs. At 100 TB PQ is the memory story: a
+    64-dim float vector becomes 4 bytes of codes, and the ADC scan
+    composes with IVF list pruning (ann_index.py)."""
+    from swarm_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    books = pq_train(emb, dim=64, m=4, k=16, iterations=1)
+    codes = pq_encode(emb, books)
+    query = list(emb.orderBy("vec_id").first()["embedding"])
+    return pq_topk(codes, books, query, k=10)
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations over events: six rules (two designed
     to FAIL on this corpus — the 'error' event_type and >100 values)
@@ -1598,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "kmeans": q_kmeans,
     "semantic_dedup": q_semantic_dedup,
+    "pq_ann": q_pq_ann,
     "bm25_indexed": q_bm25_indexed,
     "expectations": q_expectations,
     "quality_model": q_quality_model,
@@ -2045,6 +2066,87 @@ def _semdedup_oracle(k: int = 8, iterations: int = 2, dim: int = 64,
     """
 
 
+def _pq_oracle(m: int = 4, k: int = 16, iterations: int = 1,
+               dim: int = 64, n_top: int = 10) -> str:
+    """Product-quantization ADC oracle mirroring similarity.pq_train /
+    pq_encode / pq_topk: per subspace, the SAME unrolled quantized
+    Lloyd's rounds as _kmeans_oracle (suffixed CTEs over the
+    list_slice'd subvectors), then codes = final argmin assignment,
+    LUT = squared distances from the min-id query's subvectors to each
+    codeword, ADC = sum of m lookups — all integer, hash-exact."""
+    sub = dim // m
+
+    def assign(s: int, r: int) -> str:
+        return f"""
+            d{r}_{s} AS (
+              SELECT v.vec_id, c.cid,
+                     sum((v.q[t.i] - c.q[t.i]) * (v.q[t.i] - c.q[t.i])) AS dist
+              FROM vs{s} v, c{r}_{s} c, range(1, {sub + 1}) t(i)
+              GROUP BY 1, 2),
+            a{r}_{s} AS (
+              SELECT vec_id, cid AS cluster, dist,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d{r}_{s})"""
+
+    def update(s: int, r: int) -> str:
+        return f"""
+            u{r + 1}_{s} AS (
+              SELECT a.cluster, t.i,
+                     CAST(floor(CAST(sum(v.q[t.i]) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+              FROM (SELECT vec_id, cluster FROM a{r}_{s} WHERE rn = 1) a
+              JOIN vs{s} v USING (vec_id), range(1, {sub + 1}) t(i)
+              GROUP BY 1, 2),
+            c{r + 1}_{s} AS (
+              SELECT cluster AS cid, list(c ORDER BY i) AS q
+              FROM u{r + 1}_{s} GROUP BY 1
+              UNION ALL
+              SELECT cid, q FROM c{r}_{s} WHERE cid NOT IN (
+                SELECT DISTINCT cluster FROM u{r + 1}_{s}))"""
+
+    parts = []
+    for s in range(m):
+        parts.append(f"""
+            vs{s} AS (
+              SELECT vec_id, list_slice(q, {s * sub + 1}, {(s + 1) * sub}) AS q
+              FROM vecs),
+            c0_{s} AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
+              FROM (SELECT vec_id, q FROM vs{s} ORDER BY vec_id LIMIT {k}))""")
+        for r in range(iterations):
+            parts.append(assign(s, r))
+            parts.append(update(s, r))
+        parts.append(assign(s, iterations))
+        parts.append(f"""
+            code{s} AS (
+              SELECT vec_id, cluster AS c FROM a{iterations}_{s} WHERE rn = 1),
+            lut{s} AS (
+              SELECT c.cid,
+                     sum((v.q[t.i] - c.q[t.i]) * (v.q[t.i] - c.q[t.i])) AS dist
+              FROM vs{s} v, qmin, c{iterations}_{s} c, range(1, {sub + 1}) t(i)
+              WHERE v.vec_id = qmin.qid
+              GROUP BY c.cid)""")
+    joins = " ".join(
+        f"JOIN code{s} ON code{s}.vec_id = v.vec_id "
+        f"JOIN lut{s} l{s} ON l{s}.cid = code{s}.c"
+        for s in range(m))
+    total = " + ".join(f"l{s}.dist" for s in range(m))
+    return f"""
+        WITH vecs AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+          FROM embeddings),
+        qmin AS (SELECT min(vec_id) AS qid FROM vecs),
+        {",".join(parts)}
+        SELECT v.vec_id, CAST({total} AS BIGINT) AS adc
+        FROM vecs v {joins}
+        ORDER BY adc, v.vec_id
+        LIMIT {n_top}
+    """
+
+
 def _pagerank_oracle(iterations: int = 3, damping_ppm: int = 850_000) -> str:
     """Unrolled PageRank iterations as CTEs — floor division (//) on
     integers matches Spark's `div` for the all-positive quantities
@@ -2334,6 +2436,7 @@ def _oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(),
         "kmeans": _kmeans_oracle(),
         "semantic_dedup": _semdedup_oracle(),
+        "pq_ann": _pq_oracle(),
         "expectations": """
             SELECT rule, target, checked, violations,
                    violations = 0 AS passed

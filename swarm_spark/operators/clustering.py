@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans"]
+__all__ = ["kmeans", "fit_centroids"]
 
 QUANT = 1_000_000.0
 
@@ -73,24 +73,37 @@ def kmeans(
     if k < 1 or iterations < 0:
         raise ValueError("k >= 1 and iterations >= 0 required")
     vecs = _quantized(df, vec_col, id_col)
+    centroids = fit_centroids(vecs, k, iterations, id_col=id_col)
+    return _assigned(vecs, centroids, id_col).select(id_col, "cluster", "dist")
+
+
+def _assigned(vs: DataFrame, centroids: list[list[int]],
+              id_col: str) -> DataFrame:
+    dists = F.array(*[_dist_expr(c) for c in centroids])
+    return vs.select(
+        F.col(id_col),
+        "q",
+        # first index of the minimum = lowest centroid id tiebreak
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
+        F.array_min(dists).alias("dist"),
+    )
+
+
+def fit_centroids(vecs: DataFrame, k: int, iterations: int,
+                  id_col: str = "vec_id") -> list[list[int]]:
+    """Lloyd's rounds over an already-quantized (id, q) relation;
+    returns the final centroids (k lists of quantized ints). Shared by
+    kmeans() and product quantization (similarity.pq_train, which fits
+    one codebook per subvector slice). Same determinism contract:
+    lowest-id init, floor-mean updates, empty clusters keep their
+    previous centroid."""
     init = vecs.orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"k={k} but only {len(init)} vectors")
     centroids: list[list[int]] = [list(r["q"]) for r in init]
     dim = len(centroids[0])
-
-    def assigned(vs: DataFrame) -> DataFrame:
-        dists = F.array(*[_dist_expr(c) for c in centroids])
-        return vs.select(
-            F.col(id_col),
-            "q",
-            # first index of the minimum = lowest centroid id tiebreak
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
-            F.array_min(dists).alias("dist"),
-        )
-
     for _ in range(iterations):
-        a = assigned(vecs)
+        a = _assigned(vecs, centroids, id_col)
         upd = (
             a.select("cluster", F.posexplode("q").alias("i", "v"))
             .groupBy("cluster", "i")
@@ -110,4 +123,4 @@ def kmeans(
         centroids = nxt
         if dim and any(len(c) != dim for c in centroids):  # pragma: no cover
             raise RuntimeError("ragged embedding arrays")
-    return assigned(vecs).select(id_col, "cluster", "dist")
+    return centroids

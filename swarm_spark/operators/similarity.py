@@ -327,3 +327,134 @@ def ivf_topk_quantized(
         .orderBy(F.desc("score_q"), F.col(id_col))
         .limit(k)
     )
+
+
+# -- product quantization (PQ / ADC) -------------------------------------
+#
+# The standard 100 TB ANN memory layout (Jégou et al. 2011, and the PQ
+# half of FAISS's IVF-PQ): split each vector into m subvectors, learn a
+# k-codeword codebook per subspace, store each vector as m small codes
+# (m bytes at k<=256 — a 64-dim float vector compresses 32×), and
+# answer queries by Asymmetric Distance Computation: one k-entry
+# lookup table per subspace built from the query, then a scan that
+# sums m table lookups per vector — no float math per candidate.
+# Composes with the inverted file (ivf_* above / operators/ann_index):
+# IVF prunes the scan to the probed lists, PQ makes the scanned
+# candidates byte-sized. Everything below rides the repo's integer
+# determinism contract: codebooks are fit with the SAME quantized
+# Lloyd's rounds as clustering.kmeans (floor(v·1e6), lowest-id init,
+# floor-mean updates), codes break argmin ties on the lowest code, and
+# ADC scores are exact int64 sums — the pq_ann oracle unrolls the
+# whole pipeline (per-subspace kmeans rounds, encoding, LUT, top-k)
+# as DuckDB CTEs and hash-matches.
+
+
+def _sqdist(col: Column, centroid: list[int]) -> Column:
+    """Integer squared L2 between an array Column and one literal
+    centroid (JVM fold — same form as clustering._dist_expr)."""
+    lit_c = F.array(*[F.lit(int(v)).cast("bigint") for v in centroid])
+    return F.aggregate(
+        F.zip_with(col, lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _quant_full(vec_col: str) -> Column:
+    from swarm_spark.operators.clustering import QUANT
+
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("bigint"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Fit one codebook per subspace: codebooks[s][c] is the c-th
+    centroid (quantized ints) of subspace s. `dim` is required (no
+    plan-time row probes — same contract as embedding_dup_pairs);
+    dim % m must be 0. Cost: m × the kmeans fit on sub_dim-wide
+    vectors; the corpus is never shuffled (clustering.py contract)."""
+    from swarm_spark.operators.clustering import fit_centroids
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    q = _quant_full(vec_col)
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        vecs = df.select(F.col(id_col), F.slice(q, s * sub + 1, sub).alias("q"))
+        books.append(fit_centroids(vecs, k, iterations, id_col=id_col))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the argmin-distance
+    codeword (lowest code on ties). m·k integer folds per row, all
+    whole-stage codegen — this is the write-once compression pass; the
+    codes table is what a 100 TB deployment persists and scans."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = _quant_full(vec_col)
+    code_exprs = []
+    for s, cb in enumerate(codebooks):
+        sl = F.slice(q, s * sub + 1, sub)
+        dists = F.array(*[_sqdist(sl, c) for c in cb])
+        code_exprs.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.select(F.col(id_col), F.array(*code_exprs).alias("codes"))
+
+
+def pq_topk(
+    df_codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over a pq_encode'd relation: the query is quantized
+    once driver-side, one integer LUT per subspace (k entries: squared
+    L2 from the query's subvector to each codeword), and every
+    candidate costs m array lookups + adds — no per-candidate float
+    math, no UDF. Returns (id, adc) ascending, ties on id. Approximate
+    by construction (quantization error); recall is pinned by pytest
+    against the exact scorer."""
+    import math as _math
+
+    from swarm_spark.operators.clustering import QUANT
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query_vec) != m * sub:
+        raise ValueError(f"query dim {len(query_vec)} != {m * sub}")
+    qq = [int(_math.floor(float(x) * QUANT)) for x in query_vec]
+    luts = []
+    for s, cb in enumerate(codebooks):
+        qs = qq[s * sub:(s + 1) * sub]
+        luts.append([sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in cb])
+    lut_col = F.array(*[
+        F.array(*[F.lit(int(v)).cast("long") for v in lut]) for lut in luts])
+    score = F.aggregate(
+        F.zip_with(F.col("codes"), lut_col,
+                   lambda c, l: F.element_at(l, c.cast("int") + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df_codes.select(F.col(id_col), score.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )
