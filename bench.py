@@ -205,6 +205,15 @@ def main() -> None:
         # full scan over the clustered 1M-row table
         "point_read_pruned": lambda i: fs_tbl.read(spark, prune=fs_pred).count(),
         "point_read_full": lambda i: residual_filter(fs_tbl.read(spark), fs_pred).count(),
+        # COUNT pushdown: the same predicate answered from file stats
+        # (boundary files only) vs the pruned-scan count above
+        "meta_count": lambda i: fs_tbl.count_where(spark, fs_pred),
+        # r5 session-2 operators at sf: dir-scoped MERGE, bloom point
+        # read (build + probe), SemDeDup, PQ ADC pipeline
+        "merge_upsert": lambda i: e.q_merge_upsert(spark, SF_DIR).count(),
+        "bloom_point_read": lambda i: e.q_bloom_point_read(spark, SF_DIR).count(),
+        "semantic_dedup": lambda i: e.q_semantic_dedup(spark, SF_DIR).count(),
+        "pq_ann": lambda i: e.q_pq_ann(spark, SF_DIR).collect(),
     }
 
     times: dict[str, list[float]] = {name: [] for name in jobs}
@@ -268,6 +277,9 @@ def main() -> None:
     extras["point_read_files_total"] = fs_rep["files_total"]
     extras["point_read_speedup"] = round(
         timings["point_read_full"] / timings["point_read_pruned"], 2
+    )
+    extras["meta_count_vs_pruned_scan"] = round(
+        timings["point_read_pruned"] / max(timings["meta_count"], 1e-9), 2
     )
 
     shutil.rmtree(t_path, ignore_errors=True)

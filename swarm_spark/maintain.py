@@ -103,10 +103,11 @@ def maintain(spark, warehouse: str, tables: list[str] | None = None,
         entry: dict = {"files_before": live_file_count(t)}
         if compact_above_files and entry["files_before"] > compact_above_files:
             try:
-                cb = [c for c in (cluster_by or [])
-                      if c in {f.name for f in t.schema().fields}]
+                fields = {f.name for f in t.schema().fields}
+                cb = [c for c in (cluster_by or []) if c in fields]
+                bc = [c for c in (bloom_cols or []) if c in fields]
                 t.compact(spark, target_files=target_files,
-                          cluster_by=cb or None)
+                          cluster_by=cb or None, bloom_cols=bc or None)
                 entry["compacted"] = True
                 entry["files_after"] = live_file_count(t)
             except CommitConflict:

@@ -799,7 +799,8 @@ class IcepackTable:
                 max_retries: int = 10,
                 cluster_by: list[str] | None = None,
                 zorder_by: list[str] | None = None,
-                partition_unit: str | None = None) -> dict:
+                partition_unit: str | None = None,
+                bloom_cols: list[str] | None = None) -> dict:
         """Small-file compaction (the rewrite_data_files maintenance
         op): rewrite CURRENT contents into a single fresh data dir
         with a bounded file count, preserving schema + partitioning.
@@ -868,6 +869,14 @@ class IcepackTable:
             for key, val in snap.items():
                 if not key.startswith("_"):
                     new.setdefault(key, val)
+            if bloom_cols:
+                # keep equality blooms fresh through the rewrite —
+                # one scan of the just-written dir (OS-page warm),
+                # before the commit so readers of the new snapshot
+                # never see a bloomless window
+                from swarm_spark import blooms as _blooms
+
+                _blooms.collect_dir_blooms(spark, ddir, bloom_cols)
             try:
                 self._commit(new)
                 return new

@@ -205,3 +205,24 @@ class TestPropertyNoFalseNegatives:
                     packed, m_bits, k, blooms.canonical(v))
 
         prop()
+
+
+class TestCompactBloomRefresh:
+    def test_compact_rebuilds_blooms_before_commit(self, spark, tmp_path):
+        t = _interleaved_table(spark, tmp_path, n=400)
+        t.build_blooms(spark, ["id"])
+        t.compact(spark, bloom_cols=["id"])
+        d = t.current_snapshot()["data_dirs"]
+        assert len(d) == 1
+        assert blooms.load_dir_blooms(d[0]) is not None  # fresh blooms
+        got = t.read(spark, prune=[("id", "=", 123)]).collect()
+        assert [r.id for r in got] == [123]
+
+    def test_compact_without_bloom_cols_drops_blooms_soundly(self, spark, tmp_path):
+        t = _interleaved_table(spark, tmp_path, n=200)
+        t.build_blooms(spark, ["id"])
+        t.compact(spark)
+        d = t.current_snapshot()["data_dirs"]
+        assert blooms.load_dir_blooms(d[0]) is None  # no stale carry
+        got = t.read(spark, prune=[("id", "=", 77)]).collect()
+        assert [r.id for r in got] == [77]
