@@ -1114,6 +1114,33 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, books, query, k=10)
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ persistent index (ann_index.build_ann_index(pq_m=4) +
+    ann_topk_from_index(mode='adc') — the faiss-standard corpus-scale
+    layout): codes and codebooks commit atomically with the list
+    assignment; an ADC probe scans m-byte codes in the probed lists'
+    FILES (stats-pruned — asserted in-query for a narrow probe).
+    With a full probe the ADC ranking equals pq_topk over the whole
+    corpus, so the oracle is _pq_oracle() VERBATIM — one oracle, two
+    implementations, the bm25_indexed pattern applied to ANN."""
+    import tempfile
+
+    from swarm_spark.operators.ann_index import (
+        ann_topk_from_index, build_ann_index)
+    from swarm_spark.tablestore import IcepackCatalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="ivfpq_wh_")).table("ann")
+    build_ann_index(emb, t, n_centroids=8, pq_m=4, pq_k=16,
+                    pq_iterations=1, target_files=8)
+    query = list(emb.orderBy("vec_id").first()["embedding"])
+    rep = t.prune_report([("_list", "in", [0, 1])])
+    if not rep["files_kept"] < rep["files_total"]:
+        raise AssertionError(f"adc probe did not file-skip: {rep}")
+    return ann_topk_from_index(spark, t, query, k=10, n_probe=8, mode="adc")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations over events: six rules (two designed
     to FAIL on this corpus — the 'error' event_type and >100 values)
@@ -1619,6 +1646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "semantic_dedup": q_semantic_dedup,
     "pq_ann": q_pq_ann,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "bm25_indexed": q_bm25_indexed,
     "expectations": q_expectations,
     "quality_model": q_quality_model,
@@ -2437,6 +2465,9 @@ def _oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_oracle(),
         "semantic_dedup": _semdedup_oracle(),
         "pq_ann": _pq_oracle(),
+        # IVF-PQ with a full probe ≡ PQ over the whole corpus: same
+        # oracle, two implementations (the bm25_indexed pattern)
+        "ann_ivf_pq": _pq_oracle(),
         "expectations": """
             SELECT rule, target, checked, violations,
                    violations = 0 AS passed

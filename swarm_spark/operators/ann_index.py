@@ -45,7 +45,8 @@ from swarm_spark.operators.similarity import (
 
 __all__ = ["build_ann_index", "extend_ann_index", "ann_topk_from_index"]
 
-_META_KEYS = ("ann_centroids", "ann_dim", "ann_id_col", "ann_vec_col")
+_META_KEYS = ("ann_centroids", "ann_dim", "ann_id_col", "ann_vec_col",
+              "ann_pq_books")
 
 
 def _encode_centroids(cents: np.ndarray) -> str:
@@ -68,11 +69,24 @@ def build_ann_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     target_files: int | None = None,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_iterations: int = 1,
 ) -> dict:
     """Train (deterministic centroid sample) + assign + persist.
     One pass over the corpus: the assign is a numpy matmul per Arrow
     batch, the write is a `_list`-clustered rewrite so probes prune
-    files. Returns {snapshot_id, n_centroids, n_vectors, dim}."""
+    files. Returns {snapshot_id, n_centroids, n_vectors, dim}.
+
+    pq_m=m turns the table into an IVF-PQ index (the faiss standard
+    at corpus scale): PQ codebooks (m subspaces × pq_k codewords, the
+    integer-exact Lloyd fit) ride extra_meta next to the centroids,
+    and every row also stores its m-byte `_codes` — so an ADC probe
+    (ann_topk_from_index(mode='adc')) scans codes, not vectors. The
+    raw vector column stays for exact re-rank; a deployment that
+    drops it pays 32× less storage for the scan path."""
+    from swarm_spark.operators.similarity import pq_encode, pq_train
+
     cents = ivf_centroids(embs, n_centroids, vec_col, id_col)
     dim = int(cents.shape[1])
     assigned = ivf_assign(embs, cents, vec_col).select(
@@ -83,12 +97,21 @@ def build_ann_index(
         "ann_id_col": id_col,
         "ann_vec_col": vec_col,
     }
+    if pq_m:
+        books = pq_train(embs, dim=dim, m=pq_m, k=pq_k,
+                         iterations=pq_iterations,
+                         vec_col=vec_col, id_col=id_col)
+        meta["ann_pq_books"] = json.dumps(books)
+        codes = pq_encode(embs, books, vec_col=vec_col, id_col=id_col) \
+            .withColumnRenamed("codes", "_codes")
+        assigned = assigned.join(codes, id_col)
     snap = table.append(assigned, extra_meta=meta)
     table.compact(embs.sparkSession, cluster_by=["_list"],
                   target_files=target_files)
     return {"snapshot_id": snap["snapshot_id"],
             "n_centroids": n_centroids,
-            "n_vectors": snap["added_rows"], "dim": dim}
+            "n_vectors": snap["added_rows"], "dim": dim,
+            "pq": bool(pq_m)}
 
 
 def extend_ann_index(new_embs: DataFrame, table) -> dict:
@@ -101,7 +124,16 @@ def extend_ann_index(new_embs: DataFrame, table) -> dict:
     cents, id_col, vec_col = _decode_meta(prev)
     assigned = ivf_assign(new_embs, cents, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("_list"))
-    meta = {k: prev[k] for k in _META_KEYS}
+    if prev.get("ann_pq_books"):
+        # IVF-PQ index: encode the increment with the STORED codebooks
+        # — codes never drift, exactly like the centroids
+        from swarm_spark.operators.similarity import pq_encode
+
+        books = json.loads(prev["ann_pq_books"])
+        codes = pq_encode(new_embs, books, vec_col=vec_col,
+                          id_col=id_col).withColumnRenamed("codes", "_codes")
+        assigned = assigned.join(codes, id_col)
+    meta = {k: prev[k] for k in _META_KEYS if k in prev}
     snap = table.append(assigned, extra_meta=meta)
     return {"snapshot_id": snap["snapshot_id"],
             "n_vectors_added": snap["added_rows"]}
@@ -114,12 +146,19 @@ def ann_topk_from_index(
     k: int = 10,
     n_probe: int = 4,
     quantized: bool = True,
+    mode: str = "exact",
 ) -> DataFrame:
     """Query the persisted index: pick the n_probe nearest centroids
     (driver-side, against the stored matrix), FILE-SKIP to their
-    lists via the stats sidecars, exact re-rank inside. quantized=True
-    uses the integer cross-engine-exact scorer (hash-verifiable with
-    n_probe == n_centroids); False uses float cosine."""
+    lists via the stats sidecars, rank inside. mode='exact' re-ranks
+    on the stored vectors (quantized=True → the integer cross-engine-
+    exact scorer, hash-verifiable with n_probe == n_centroids).
+    mode='adc' ranks by PQ asymmetric distance over the stored
+    `_codes` — the scan touches m small ints per candidate instead of
+    the vector column; with a full probe it equals pq_topk over the
+    whole corpus (the hash-verifiable configuration)."""
+    from swarm_spark.operators.similarity import pq_topk
+
     snap = table.current_snapshot()
     cents, id_col, vec_col = _decode_meta(snap)
     qn = np.array(query_vec, dtype=np.float64)
@@ -128,6 +167,16 @@ def ann_topk_from_index(
     probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
     # the probe IS partition/file pruning — only the probed lists' files scan
     assigned = table.read(spark, prune=[("_list", "in", [int(p) for p in probe])])
+    if mode == "adc":
+        if not snap.get("ann_pq_books"):
+            raise ValueError("mode='adc' needs an IVF-PQ index — "
+                             "build_ann_index(pq_m=...)")
+        books = json.loads(snap["ann_pq_books"])
+        codes = assigned.select(F.col(id_col),
+                                F.col("_codes").alias("codes"))
+        return pq_topk(codes, books, query_vec, k=k, id_col=id_col)
+    if mode != "exact":
+        raise ValueError(f"mode must be exact|adc, got {mode!r}")
     fn = ivf_topk_quantized if quantized else ivf_topk
     return fn(assigned, cents, query_vec, k=k, n_probe=n_probe,
               vec_col=vec_col, id_col=id_col)

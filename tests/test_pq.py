@@ -64,3 +64,64 @@ class TestPQ:
         for r in codes:
             assert len(r.codes) == 4
             assert all(0 <= c < 8 for c in r.codes)
+
+
+class TestIvfPq:
+    def _index(self, spark, tmp_path, df):
+        from swarm_spark.operators.ann_index import build_ann_index
+        from swarm_spark.tablestore import IcepackCatalog
+
+        t = IcepackCatalog(str(tmp_path)).table("ann")
+        out = build_ann_index(df, t, n_centroids=4, pq_m=4, pq_k=8,
+                              pq_iterations=1, target_files=4)
+        assert out["pq"] is True
+        return t
+
+    def test_full_probe_adc_equals_pq_topk(self, spark, tmp_path):
+        from swarm_spark.operators.ann_index import ann_topk_from_index
+
+        df = _vectors(spark, n=200, dim=16)
+        t = self._index(spark, tmp_path, df)
+        books = pq_train(df, dim=16, m=4, k=8, iterations=1)
+        codes = pq_encode(df, books)
+        q = list(df.filter(F.col("vec_id") == 5).first()["embedding"])
+        direct = [(r.vec_id, r.adc) for r in pq_topk(codes, books, q, k=10).collect()]
+        via_index = [(r.vec_id, r.adc) for r in ann_topk_from_index(
+            spark, t, q, k=10, n_probe=4, mode="adc").collect()]
+        assert direct == via_index
+
+    def test_extend_encodes_with_stored_books(self, spark, tmp_path):
+        from swarm_spark.operators.ann_index import (
+            ann_topk_from_index, extend_ann_index)
+
+        df = _vectors(spark, n=200, dim=16)
+        first, second = (df.filter(F.col("vec_id") < 100),
+                         df.filter(F.col("vec_id") >= 100))
+        t = self._index(spark, tmp_path, first)
+        extend_ann_index(second, t)
+        # rebuild-on-first-half books, encode ALL, full-probe ADC must
+        # equal the extended index's full-probe ADC
+        books = pq_train(first, dim=16, m=4, k=8, iterations=1)
+        codes = pq_encode(df, books)
+        q = list(df.filter(F.col("vec_id") == 150).first()["embedding"])
+        direct = [(r.vec_id, r.adc) for r in pq_topk(codes, books, q, k=10).collect()]
+        via = [(r.vec_id, r.adc) for r in ann_topk_from_index(
+            spark, t, q, k=10, n_probe=4, mode="adc").collect()]
+        assert direct == via
+
+    def test_adc_on_plain_index_rejected(self, spark, tmp_path):
+        from swarm_spark.operators.ann_index import (
+            ann_topk_from_index, build_ann_index)
+        from swarm_spark.tablestore import IcepackCatalog
+
+        df = _vectors(spark, n=50, dim=16)
+        t = IcepackCatalog(str(tmp_path)).table("ann")
+        build_ann_index(df, t, n_centroids=2)
+        with pytest.raises(ValueError, match="IVF-PQ"):
+            ann_topk_from_index(spark, t, [0.0] * 16, mode="adc")
+
+    def test_narrow_probe_prunes_files(self, spark, tmp_path):
+        df = _vectors(spark, n=200, dim=16)
+        t = self._index(spark, tmp_path, df)
+        rep = t.prune_report([("_list", "in", [0])])
+        assert rep["files_kept"] < rep["files_total"]
