@@ -1141,6 +1141,48 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_from_index(spark, t, query, k=10, n_probe=8, mode="adc")
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance (operators/scd2.py — Kimball
+    versioned rows over the dir-scoped merge): customers land as the
+    initial version set at t1; a t2 batch CHANGES every key ≡ 0 (mod
+    3) (close + open), re-sends every key ≡ 1 (mod 3) UNCHANGED (must
+    be a churn-free no-op), and INSERTS fresh keys (offset past max).
+    The full history relation is read back; the oracle recomputes the
+    same close/open/no-op/insert logic in SQL. Accounting asserted
+    in-query: matched == changed keys (no-ops cost nothing), inserted
+    == changed + fresh."""
+    import tempfile
+
+    from swarm_spark.operators.scd2 import scd2_upsert
+    from swarm_spark.tablestore import IcepackCatalog
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 100).alias("bal"))
+    mn, mx = cust.agg(F.min("k"), F.max("k")).first()
+    t = IcepackCatalog(tempfile.mkdtemp(prefix="scd2_wh_")).table("dim")
+    scd2_upsert(spark, t, cust, keys=["k"], attrs=["seg", "bal"],
+                ts="2024-01-01 00:00:00")
+    changed = cust.filter(F.col("k") % 3 == 0) \
+        .withColumn("bal", F.col("bal") + 1000)
+    same = cust.filter(F.col("k") % 3 == 1)
+    fresh = cust.filter(F.col("k") % 17 == 0).select(
+        (F.col("k") + F.lit(mx - mn + 1)).alias("k"),
+        "seg", (F.col("bal") + 5).alias("bal"))
+    batch = changed.unionByName(same).unionByName(fresh)
+    snap = scd2_upsert(spark, t, batch, keys=["k"], attrs=["seg", "bal"],
+                       ts="2024-02-01 00:00:00")
+    n_changed = changed.count()
+    n_fresh = fresh.count()
+    if snap["rows_matched"] != n_changed:
+        raise AssertionError(
+            f"no-op churn: matched {snap['rows_matched']} != {n_changed}")
+    if snap["rows_inserted"] != n_changed + n_fresh:
+        raise AssertionError(f"insert accounting: {snap}")
+    return t.read(spark).select("k", "seg", "bal", "_valid_from", "_valid_to")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations over events: six rules (two designed
     to FAIL on this corpus — the 'error' event_type and >100 values)
@@ -1647,6 +1689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "pq_ann": q_pq_ann,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "scd2": q_scd2,
     "bm25_indexed": q_bm25_indexed,
     "expectations": q_expectations,
     "quality_model": q_quality_model,
@@ -2468,6 +2511,34 @@ def _oracle_sql() -> dict[str, str]:
         # IVF-PQ with a full probe ≡ PQ over the whole corpus: same
         # oracle, two implementations (the bm25_indexed pattern)
         "ann_ivf_pq": _pq_oracle(),
+        "scd2": """
+            WITH c AS (
+              SELECT c_custkey AS k, c_mktsegment AS seg,
+                     c_custkey % 100 AS bal
+              FROM customer),
+            b AS (SELECT min(c_custkey) AS mn, max(c_custkey) AS mx
+                  FROM customer),
+            t1 AS (SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS ts),
+            t2 AS (SELECT CAST('2024-02-01 00:00:00' AS TIMESTAMP) AS ts)
+            -- initial versions: changed keys (k%3=0) close at t2,
+            -- everything else stays current
+            SELECT k, seg, bal,
+                   t1.ts AS _valid_from,
+                   CASE WHEN k % 3 = 0 THEN t2.ts END AS _valid_to
+            FROM c, t1, t2
+            UNION ALL
+            -- re-opened versions of the changed keys
+            SELECT k, seg, bal + 1000 AS bal,
+                   t2.ts AS _valid_from,
+                   CAST(NULL AS TIMESTAMP) AS _valid_to
+            FROM c, t2 WHERE k % 3 = 0
+            UNION ALL
+            -- fresh keys inserted at t2
+            SELECT k + (b.mx - b.mn + 1) AS k, seg, bal + 5 AS bal,
+                   t2.ts AS _valid_from,
+                   CAST(NULL AS TIMESTAMP) AS _valid_to
+            FROM c, b, t2 WHERE k % 17 = 0
+        """,
         "expectations": """
             SELECT rule, target, checked, violations,
                    violations = 0 AS passed
