@@ -133,7 +133,13 @@ def main() -> None:
     # Fresh warehouse/checkpoint per CALL for the committing jobs (the
     # exactly-once gate must never short-circuit a later round); the
     # mkdtemp is microseconds and inside the timed region, teardown is
-    # outside it (post_cleanup).
+    # outside it (post_cleanup). Several registry queries
+    # (merge_upsert/bloom_point_read/semantic_dedup/pq_ann/...) create
+    # their OWN temp warehouses internally; route every mkdtemp into a
+    # bench-owned root so those are reclaimed per round too instead of
+    # leaking a table copy per query per round.
+    bench_tmp_root = tempfile.mkdtemp(prefix="swarm_bench_tmproot_")
+    tempfile.tempdir = bench_tmp_root
     post_cleanup: list[str] = []
 
     def _fresh(prefix: str) -> str:
@@ -228,6 +234,13 @@ def main() -> None:
             meta["queries"][name] = sec
             while post_cleanup:
                 shutil.rmtree(post_cleanup.pop(), ignore_errors=True)
+            # reclaim query-internal temp warehouses (*_wh_ prefixes
+            # under the redirected tempdir) — the query has been fully
+            # consumed (count/collect), nothing re-reads them
+            for d in os.listdir(bench_tmp_root):
+                if "_wh_" in d:
+                    shutil.rmtree(os.path.join(bench_tmp_root, d),
+                                  ignore_errors=True)
         rounds_meta.append(meta)
 
     timings = {name: min(ts) for name, ts in times.items()}
@@ -311,6 +324,7 @@ def main() -> None:
         "per_query_min_of_rounds": True,
         **extras,
     }))
+    shutil.rmtree(bench_tmp_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

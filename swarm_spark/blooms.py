@@ -189,11 +189,25 @@ def load_dir_blooms(ddir: str) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
+_TAG_TYPE = {"i64": int, "str": str}
+
+
 def file_maybe_matches(blooms: dict | None, rel: str,
-                       predicates: list[tuple]) -> bool:
+                       predicates: list[tuple],
+                       tags: dict | None = None) -> bool:
     """Could file `rel` satisfy every equality conjunct, per its
     blooms? True = must scan (no bloom, non-equality op, or bloom
-    fires); False = some `=`/`in` conjunct is provably absent."""
+    fires); False = some `=`/`in` conjunct is provably absent.
+
+    `tags` maps column → stats tag for THIS file (from the stats
+    sidecar). A bloom is only consulted when the literal's Python type
+    matches the column's stored type (int↔i64, str↔str, bool never):
+    the build side hashed Spark's cast(string) of the COLUMN values,
+    so probing a string column with an int literal (or vice versa)
+    would compare different canonical forms — e.g. \"007\" vs 7, where
+    the engine's cast-based equality MATCHES but the bloom text
+    differs. No tag / non-i64-str tag (timestamps, floats) → never
+    prune on that conjunct."""
     if not blooms:
         return True
     entry = (blooms.get("files") or {}).get(rel)
@@ -205,7 +219,13 @@ def file_maybe_matches(blooms: dict | None, rel: str,
         b64 = entry.get(col)
         if b64 is None or op not in ("=", "==", "in"):
             continue
+        want = _TAG_TYPE.get((tags or {}).get(col))
+        if want is None:
+            continue  # unknown/unsupported column type — never prune
         vals = pred[2] if op == "in" else [pred[2]]
+        if any(not isinstance(v, want) or isinstance(v, bool)
+               for v in vals):
+            continue  # cross-type literal — engine may cast-match it
         canons = [canonical(v) for v in vals]
         if any(c is None for c in canons):
             continue  # un-canonicalizable literal — never prune on it

@@ -426,8 +426,13 @@ def prune_files(dirs: list[str], predicates: list[tuple]) -> tuple[list[str], in
                     break
             if survive and dblooms is not None:
                 # min/max passed — a per-file bloom can still prove an
-                # equality literal was never written to this file
-                survive = _blooms.file_maybe_matches(dblooms, rel, predicates)
+                # equality literal was never written to this file.
+                # The stats tags gate type safety: a literal whose
+                # Python type differs from the column's stored type is
+                # never bloom-pruned (the engine may cast-match it).
+                tags = {c: e[3] for c, e in cols.items()}
+                survive = _blooms.file_maybe_matches(
+                    dblooms, rel, predicates, tags)
             if survive:
                 kept += 1
                 paths.append(os.path.join(d, rel))

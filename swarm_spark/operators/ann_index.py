@@ -161,10 +161,18 @@ def ann_topk_from_index(
 
     snap = table.current_snapshot()
     cents, id_col, vec_col = _decode_meta(snap)
-    qn = np.array(query_vec, dtype=np.float64)
-    qn = qn / np.linalg.norm(qn)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    q = np.array(query_vec, dtype=np.float64)
+    if mode == "adc":
+        # rank metric is squared L2 (ADC) — probe lists by the SAME
+        # metric, or the coarse step and the fine step disagree and
+        # recall craters on non-unit-norm embeddings. (Full probe
+        # n_probe == n_lists is metric-independent and exact vs
+        # pq_topk — the hash-verified configuration.)
+        probe = np.argsort(((cents - q) ** 2).sum(axis=1))[:n_probe].tolist()
+    else:
+        qn = q / np.linalg.norm(q)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
     # the probe IS partition/file pruning — only the probed lists' files scan
     assigned = table.read(spark, prune=[("_list", "in", [int(p) for p in probe])])
     if mode == "adc":

@@ -795,8 +795,12 @@ def semantic_dedup_keep(
     if not 0.0 <= threshold <= 1.0:
         raise ValueError("threshold must be in [0, 1]")
     threshold_q = int(1_000_000 * threshold * threshold)
+    # the assignment feeds three consumers (size guard, pair join ×2
+    # sides, final anti-join) — persist it so the k distance folds per
+    # row are paid once, not three times
     assigned = kmeans(df, k=k, iterations=iterations,
-                      vec_col=vec_col, id_col=id_col).select(id_col, "cluster")
+                      vec_col=vec_col, id_col=id_col) \
+        .select(id_col, "cluster").persist()
     sizes = assigned.groupBy("cluster").count().agg(
         F.max("count").alias("mx")).first()
     if sizes["mx"] is not None and sizes["mx"] > max_cluster:

@@ -36,7 +36,7 @@ for mutable dimensions whose history must stay queryable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["scd2_delta", "scd2_upsert", "scd2_current", "scd2_as_of"]
@@ -54,7 +54,7 @@ def scd2_delta(history: DataFrame, updates: DataFrame, keys: list[str],
 
     One join: current slice ⋈ updates on keys. Change detection is
     null-safe per attribute. Unchanged keys emit NOTHING."""
-    ts_lit = ts if not isinstance(ts, (str, int, float)) else F.lit(ts)
+    ts_lit = ts if isinstance(ts, Column) else F.lit(ts)
     cur = history.filter(F.col(VALID_TO).isNull())
     upd = updates.select(
         *[F.col(k) for k in keys],
@@ -85,11 +85,23 @@ def scd2_upsert(spark, table, updates: DataFrame, keys: list[str],
     (keys, _valid_from)), the opened/fresh rows are inserts — so the
     whole batch lands through ONE dir-scoped merge_upsert commit, with
     its conflict semantics (concurrent appends abort-and-recompute).
-    First batch on an empty table just inserts initial versions."""
+    First batch on an empty table just inserts initial versions.
+
+    The batch must carry ONE row per business key (the Kimball batch
+    contract — two versions cannot share an effective timestamp);
+    duplicates would open overlapping current versions, so they are
+    rejected with one batch-sized aggregate before any write."""
+    dup = updates.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+        .alias("d")).first()["d"]
+    if dup:
+        raise ValueError(
+            f"scd2_upsert: batch has {dup} duplicate business-key rows — "
+            f"one row per key per batch (versions cannot overlap)")
     if not table.exists():
         first = updates.select(
             *keys, *attrs,
-            (ts if not isinstance(ts, (str, int, float)) else F.lit(ts))
+            (ts if isinstance(ts, Column) else F.lit(ts))
             .cast("timestamp").alias(VALID_FROM),
             F.lit(None).cast("timestamp").alias(VALID_TO))
         return table.append(first)
@@ -106,7 +118,7 @@ def scd2_current(history: DataFrame) -> DataFrame:
 def scd2_as_of(history: DataFrame, ts) -> DataFrame:
     """Point-in-time slice: the version of every key valid AT `ts` —
     the feature-backfill join side."""
-    ts_lit = ts if not isinstance(ts, (str, int, float)) else F.lit(ts)
+    ts_lit = ts if isinstance(ts, Column) else F.lit(ts)
     t = ts_lit.cast("timestamp")
     return history.filter(
         (F.col(VALID_FROM) <= t)

@@ -681,10 +681,14 @@ class IcepackTable:
         for _ in range(max_retries):
             snap = self.current_snapshot()
             if snap is None:
-                try:
-                    return self.overwrite(incoming, op="merge")
-                except CommitConflict:
-                    continue
+                # empty table: the merge degenerates to insert-only.
+                # append (not overwrite) — its commit REBASES over a
+                # concurrent append that lands between our read and
+                # commit, so those rows are unioned, never clobbered.
+                first = self.append(incoming)
+                return {**first, "dirs_rewritten": 0, "dirs_untouched": 0,
+                        "rows_matched": 0,
+                        "rows_inserted": first.get("added_rows", 0)}
             schema = merge_schemas(
                 T.StructType.fromJson(json.loads(snap["schema"])),
                 incoming.schema,
@@ -694,7 +698,7 @@ class IcepackTable:
             affected, untouched = self._merge_scope(spark, keyset, keys,
                                                     dirs, keys_cap)
             pending = snap.get("deletes") or []
-            obs = None
+            obs = obs_cur = None
             if affected:
                 current = self._scan_dirs(spark, affected, keep_s=bool(pending))
                 if pending:
@@ -702,6 +706,11 @@ class IcepackTable:
                 for aux in ("_s", "_p"):
                     if aux in current.columns:
                         current = current.drop(aux)
+                # LIVE (post-mask) row count of the affected dirs rides
+                # the write job too — rows_matched must count replaced
+                # live rows, not physical rows a folded mask removed
+                obs_cur = Observation()
+                current = current.observe(obs_cur, F.count(F.lit(1)).alias("n"))
                 kept = current.join(keyset, keys, "left_anti")
                 # survivor count rides the write job (no second scan)
                 obs = Observation()
@@ -748,10 +757,16 @@ class IcepackTable:
                 self._commit(new)
                 if not n_written:
                     shutil.rmtree(ddir, ignore_errors=True)
+                live_before = (int(obs_cur.get["n"])
+                               if obs_cur is not None else before)
                 new["dirs_rewritten"] = len(affected)
                 new["dirs_untouched"] = len(untouched)
-                new["rows_matched"] = before - kept_n
-                new["rows_inserted"] = n_written - kept_n - (before - kept_n)
+                # matched = LIVE rows replaced (mask-folded rows are
+                # not "matched"); row_count above uses the PHYSICAL
+                # before — folded rows do leave storage
+                new["rows_matched"] = live_before - kept_n
+                new["rows_inserted"] = (n_written - kept_n) \
+                    - new["rows_matched"]
                 return new
             except CommitConflict:
                 shutil.rmtree(ddir, ignore_errors=True)  # stale rewrite
@@ -1689,6 +1704,14 @@ class IcepackTable:
         scanned = 0
         if residual:
             df = spark.read.option("mergeSchema", "true").parquet(*residual)
+            # schema evolution: residual files may all predate a
+            # predicate column — fill it with NULL (read() semantics),
+            # so the predicate evaluates instead of failing to resolve
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            types = {f.name: f.dataType for f in schema.fields}
+            for p in predicates:
+                if p[0] not in df.columns and p[0] in types:
+                    df = df.withColumn(p[0], F.lit(None).cast(types[p[0]]))
             scanned = df.filter(
                 F.coalesce(filestats.predicate_column(predicates),
                            F.lit(False))).count()

@@ -226,3 +226,28 @@ class TestCompactBloomRefresh:
         assert blooms.load_dir_blooms(d[0]) is None  # no stale carry
         got = t.read(spark, prune=[("id", "=", 77)]).collect()
         assert [r.id for r in got] == [77]
+
+
+class TestCrossTypeLiterals:
+    def test_int_literal_on_string_column_never_bloom_pruned(self, spark, tmp_path):
+        """Engine equality CASTS: '007' = 7 matches in Spark, but the
+        bloom hashed the text '007' while canonical(7) is '7'. The
+        stats-tag gate must bypass the bloom so the row survives."""
+        t = IcepackCatalog(str(tmp_path)).table("t")
+        t.append(spark.createDataFrame(
+            [("007", 1), ("042", 2)], "s string, id bigint").coalesce(1))
+        t.build_blooms(spark, ["s"])
+        got = t.read(spark, prune=[("s", "=", 7)]).collect()
+        want = t.read(spark).filter(F.col("s") == 7).collect()
+        assert [r.id for r in got] == [r.id for r in want] == [1]
+
+    def test_string_literal_on_int_column_never_bloom_pruned(self, spark, tmp_path):
+        t = IcepackCatalog(str(tmp_path)).table("t")
+        t.append(spark.createDataFrame(
+            [(7, "a"), (42, "b")], "id bigint, s string").coalesce(1))
+        t.build_blooms(spark, ["id"])
+        got = sorted(r.s for r in
+                     t.read(spark, prune=[("id", "=", "7")]).collect())
+        want = sorted(r.s for r in
+                      t.read(spark).filter(F.col("id") == "7").collect())
+        assert got == want == ["a"]
