@@ -1183,6 +1183,46 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("k", "seg", "bal", "_valid_from", "_valid_to")
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (plans/bucketing.py — the write-once-
+    shuffle-never lever for REPEATED large-large joins at 100 TB):
+    orders and customer are persisted bucketBy(8, custkey) with
+    broadcast disabled, and the join plans with NO Exchange on either
+    input (asserted in-query via the physical plan). The oracle is the
+    plain SQL join + integer aggregate — bucketing must change the
+    plan, never the values. Tables are EXTERNAL (explicit /tmp paths)
+    so the session catalog never writes into the repo."""
+    import tempfile
+
+    from swarm_spark.plans.bucketing import (
+        assert_exchange_free_join, colocated_join)
+
+    root = tempfile.mkdtemp(prefix="bktjoin_wh_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bj_oracle")
+    for name, df in (("orders_b", orders), ("cust_b", cust)):
+        (df.write.mode("overwrite").format("parquet")
+           .option("path", f"{root}/{name}")
+           .bucketBy(8, "o_custkey").sortBy("o_custkey")
+           .saveAsTable(f"bj_oracle.{name}"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "bj_oracle.orders_b", "bj_oracle.cust_b",
+                           "o_custkey")
+        assert_exchange_free_join(j)
+        return j.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_ok"),
+            F.min("o_orderkey").alias("min_ok"),
+            F.max("o_orderkey").alias("max_ok"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations over events: six rules (two designed
     to FAIL on this corpus — the 'error' event_type and >100 values)
@@ -1690,6 +1730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann": q_pq_ann,
     "ann_ivf_pq": q_ann_ivf_pq,
     "scd2": q_scd2,
+    "bucketed_join": q_bucketed_join,
     "bm25_indexed": q_bm25_indexed,
     "expectations": q_expectations,
     "quality_model": q_quality_model,
@@ -2511,6 +2552,15 @@ def _oracle_sql() -> dict[str, str]:
         # IVF-PQ with a full probe ≡ PQ over the whole corpus: same
         # oracle, two implementations (the bm25_indexed pattern)
         "ann_ivf_pq": _pq_oracle(),
+        "bucketed_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+                   min(o_orderkey) AS min_ok,
+                   max(o_orderkey) AS max_ok
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         "scd2": """
             WITH c AS (
               SELECT c_custkey AS k, c_mktsegment AS seg,
