@@ -558,6 +558,28 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an IRREGULAR set list — ((type), (bucket),
+    ()) — the multi-level aggregate shape ROLLUP/CUBE can't express
+    (completes the q_rollup family). One scan, one expand+aggregate;
+    grouping() flags disambiguate rolled-up NULLs from data NULLs in
+    both engines. Reference analogue: the windowed count families of
+    pkg/usecase/ingest.go, generalized to ad-hoc OLAP levels."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", (F.col("user_id") % 10).alias("bucket"), "event_id")
+    view = "gs_events_v"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT event_type, bucket,
+               count(*) AS n,
+               sum(event_id) AS sum_id,
+               CAST(grouping(event_type) AS INT) AS g_t,
+               CAST(grouping(bucket) AS INT) AS g_b
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type), (bucket), ())
+    """)
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot linestatus into columns per returnflag."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1776,6 +1798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_reassembly": q_conv_reassembly,
     "dedup_clusters": q_dedup_clusters,
     "rollup": q_rollup,
+    "grouping_sets": q_grouping_sets,
     "pivot": q_pivot,
     "semi_anti": q_semi_anti,
     "curation": q_curation,
@@ -3358,6 +3381,15 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(grouping(l_linestatus) AS INT) AS g_ls
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets": """
+            SELECT event_type, user_id % 10 AS bucket,
+                   count(*) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   CAST(grouping(event_type) AS INT) AS g_t,
+                   CAST(grouping(user_id % 10) AS INT) AS g_b
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         """,
         "pivot": """
             SELECT l_returnflag,
