@@ -141,14 +141,29 @@ def minhash_signature(shingle_col, num_hashes: int = 128, seed: int = 42) -> F.C
     """num_hashes-wide MinHash signature over an ALREADY-MATERIALIZED
     shingle array column (pass a column reference, not the shingles()
     expression — otherwise the tokenization re-runs once per hash).
-    Pure Column exprs; all mins evaluate in one codegen'd pass."""
+    Pure Column exprs; all mins evaluate in one codegen'd pass. Built
+    as one transform over sequence(seed, seed+n-1) rather than n
+    separate array_min subtrees — identical values (xxhash64 of the
+    same (string, int) pair), ~n× smaller expression tree for Catalyst
+    to analyze."""
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    return F.transform(
+        seeds, lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i)))
+    )
 
-    def mk(i: int):
-        return lambda s: F.xxhash64(s, F.lit(seed + i))
 
-    mins = [F.array_min(F.transform(sh, mk(i))) for i in range(num_hashes)]
-    return F.array(*mins)
+def _band_buckets(bands: int, rows_per_band: int) -> F.Column:
+    """array of per-band bucket hashes over the `_sig` column — one
+    transform over sequence(0, bands-1); values identical to the
+    unrolled F.array of per-band F.hash(slice, lit(b)) nodes it
+    replaces (hash of the same (array<long>, int) pair)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(
+            F.slice(F.col("_sig"), b * rows_per_band + 1, F.lit(rows_per_band)), b
+        ),
+    )
 
 
 def bands_for_threshold(threshold: float, num_hashes: int = 128) -> int:
@@ -200,8 +215,10 @@ def minhash_lsh_pairs(
     passes (MEMORY_AND_DISK; pass False for fire-and-forget plans
     where recompute beats cache residency).
     """
+    from swarm_spark.operators.util import spread
+
     rows_per_band = num_hashes // bands
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("_id"), shingles(text_col).alias("_sh")
     )
     if persist_base:
@@ -214,10 +231,7 @@ def minhash_lsh_pairs(
     # the bucket self-join move ONLY (id, band, bucket) — never the
     # shingle arrays. Shingles rejoin (two hash joins on id) solely
     # for the final exact-Jaccard verify over the deduped candidates.
-    band_arr = F.array(*[
-        F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
-        for b in range(bands)
-    ])
+    band_arr = _band_buckets(bands, rows_per_band)
     banded = base.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -262,13 +276,12 @@ def minhash_band_index(
     historical corpus. Same banding arithmetic as minhash_lsh_pairs —
     indexes built with identical (num_hashes, bands, seed) are
     join-compatible."""
+    from swarm_spark.operators.util import spread
+
     rows_per_band = num_hashes // bands
-    base = df.select(F.col(id_col).alias("_id"), shingles(text_col).alias("_sh"))
+    base = spread(df).select(F.col(id_col).alias("_id"), shingles(text_col).alias("_sh"))
     base = base.withColumn("_sig", minhash_signature("_sh", num_hashes, seed))
-    band_arr = F.array(*[
-        F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
-        for b in range(bands)
-    ])
+    band_arr = _band_buckets(bands, rows_per_band)
     return base.select("_id", F.posexplode(band_arr).alias("_band", "_bucket"))
 
 
@@ -468,11 +481,13 @@ def simhash_pairs(
     time (cheap — usually parquet metadata — but an action composed
     pipelines may not want). Pass the known count to keep this a pure
     plan builder."""
+    from swarm_spark.operators.util import spread
+
     nb = max_hamming + 1
     n_bits = 60 if hash_fn == "md5w60" else 64
     width = n_bits // nb
-    sh = df.select(F.col(id_col).alias("_id"),
-                   simhash64(text_col, hash_fn).alias("_sh"))
+    sh = spread(df).select(F.col(id_col).alias("_id"),
+                           simhash64(text_col, hash_fn).alias("_sh"))
     bands = F.array(*[
         F.shiftrightunsigned(F.col("_sh"), i * width).bitwiseAND(F.lit((1 << width) - 1).cast("long"))
         for i in range(nb)
@@ -789,19 +804,37 @@ def semantic_dedup_keep(
     hot-bucket guard, applied to clusters).
 
     Returns (id_col, cluster) for survivors."""
-    from swarm_spark.operators.clustering import kmeans
+    from swarm_spark.operators.clustering import (
+        _quantized, cluster_expr, fit_centroids)
     from swarm_spark.operators.similarity import dot_q, quantize_vec
+    from swarm_spark.operators.util import spread
 
     if not 0.0 <= threshold <= 1.0:
         raise ValueError("threshold must be in [0, 1]")
     threshold_q = int(1_000_000 * threshold * threshold)
-    # the assignment feeds three consumers (size guard, pair join ×2
-    # sides, final anti-join) — persist it so the k distance folds per
-    # row are paid once, not three times
-    assigned = kmeans(df, k=k, iterations=iterations,
-                      vec_col=vec_col, id_col=id_col) \
-        .select(id_col, "cluster").persist()
-    sizes = assigned.groupBy("cluster").count().agg(
+    # Centroids are fit once (driver-held, k·d ints); the assignment is
+    # then an inline argmin EXPRESSION over the quantized vector — the
+    # pair join's two sides and the final anti-join each recompute the
+    # narrow projection instead of persisting an assignment table
+    # (recompute beats cache residency for a projection this cheap, and
+    # nothing is left pinned in executor storage after the query — the
+    # r5-advice cache leak). Assignment values are bit-identical to
+    # kmeans(): same fit, same argmin/tiebreak expression.
+    base = spread(df.select(F.col(id_col), F.col(vec_col)))
+    centroids = fit_centroids(
+        _quantized(base, vec_col, id_col), k, iterations, id_col=id_col)
+    qv = quantize_vec(F.col(vec_col), scale)
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("bigint"),
+    )
+    vecs = base.select(
+        F.col(id_col).alias("_id"),
+        qv.alias("_q"),
+        dot_q(qv, qv).alias("_n2"),
+        cluster_expr(quant, centroids).alias("cluster"),
+    )
+    sizes = vecs.groupBy("cluster").count().agg(
         F.max("count").alias("mx")).first()
     if sizes["mx"] is not None and sizes["mx"] > max_cluster:
         raise ValueError(
@@ -809,12 +842,6 @@ def semantic_dedup_keep(
             f"(> max_cluster={max_cluster}); increase k — the within-cluster "
             f"join is quadratic in cluster size"
         )
-    qv = quantize_vec(F.col(vec_col), scale)
-    vecs = df.select(
-        F.col(id_col).alias("_id"),
-        qv.alias("_q"),
-        dot_q(qv, qv).alias("_n2"),
-    ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
     a, b = vecs.alias("a"), vecs.alias("b")
     dropped = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
@@ -834,7 +861,7 @@ def semantic_dedup_keep(
         .distinct()
     )
     return (
-        assigned.withColumnRenamed(id_col, "_id")
+        vecs.select("_id", "cluster")
         .join(dropped, "_id", "left_anti")
         .select(F.col("_id").alias(id_col), "cluster")
     )

@@ -84,11 +84,13 @@ def cosine_topk_quantized(
     score — integer-exact across engines (the q_embedding_knn trick
     extended to cosine). Ties broken by id; plan is still
     Scan → Project → TakeOrderedAndProject."""
+    from swarm_spark.operators.util import spread
+
     qv = (
         df.filter(F.col(id_col) == query_id)
         .select(quantize_vec(F.col(vec_col), scale).alias("_qv"))
     )
-    out = df.crossJoin(F.broadcast(qv)).select(
+    out = spread(df).crossJoin(F.broadcast(qv)).select(
         F.col(id_col),
         dot_q(quantize_vec(F.col(vec_col), scale), F.col("_qv")).alias("_d"),
         dot_q(quantize_vec(F.col(vec_col), scale),
@@ -381,19 +383,18 @@ def pq_train(
     """Fit one codebook per subspace: codebooks[s][c] is the c-th
     centroid (quantized ints) of subspace s. `dim` is required (no
     plan-time row probes — same contract as embedding_dup_pairs);
-    dim % m must be 0. Cost: m × the kmeans fit on sub_dim-wide
-    vectors; the corpus is never shuffled (clustering.py contract)."""
-    from swarm_spark.operators.clustering import fit_centroids
+    dim % m must be 0. The m sub-fits run FUSED (one init collect +
+    one job per Lloyd's round for ALL subspaces —
+    clustering.fit_subspace_centroids); per-slice arithmetic is
+    bit-identical to the old m×fit_centroids loop. The corpus is never
+    shuffled (clustering.py contract)."""
+    from swarm_spark.operators.clustering import fit_subspace_centroids
 
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    q = _quant_full(vec_col)
-    books: list[list[list[int]]] = []
-    for s in range(m):
-        vecs = df.select(F.col(id_col), F.slice(q, s * sub + 1, sub).alias("q"))
-        books.append(fit_centroids(vecs, k, iterations, id_col=id_col))
-    return books
+    vecs = df.select(F.col(id_col), _quant_full(vec_col).alias("q"))
+    return fit_subspace_centroids(vecs, k, iterations, m, sub, id_col=id_col)
 
 
 def pq_encode(
@@ -403,19 +404,33 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, codes array<int>): per subspace, the argmin-distance
-    codeword (lowest code on ties). m·k integer folds per row, all
-    whole-stage codegen — this is the write-once compression pass; the
-    codes table is what a 100 TB deployment persists and scans."""
+    codeword (lowest code on ties). m·k integer folds per row over ONE
+    3-D codebook literal (m·k·sub separate Literal nodes made Catalyst
+    analysis the bottleneck on small inputs — clustering._lit2d note);
+    this is the write-once compression pass; the codes table is what a
+    100 TB deployment persists and scans."""
+    from swarm_spark.operators.util import spread
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
     q = _quant_full(vec_col)
-    code_exprs = []
-    for s, cb in enumerate(codebooks):
-        sl = F.slice(q, s * sub + 1, sub)
-        dists = F.array(*[_sqdist(sl, c) for c in cb])
-        code_exprs.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.select(F.col(id_col), F.array(*code_exprs).alias("codes"))
+    lit3d = F.lit([[list(map(int, c)) for c in cb] for cb in codebooks]).cast(
+        "array<array<array<bigint>>>")
+
+    def sub_code(s):
+        sl = F.slice(q, s * sub + 1, F.lit(sub))
+        dists = F.transform(
+            F.element_at(lit3d, (s + 1).cast("int")),
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), sub_code)
+    return spread(df).select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_topk(
@@ -445,8 +460,8 @@ def pq_topk(
     for s, cb in enumerate(codebooks):
         qs = qq[s * sub:(s + 1) * sub]
         luts.append([sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in cb])
-    lut_col = F.array(*[
-        F.array(*[F.lit(int(v)).cast("long") for v in lut]) for lut in luts])
+    lut_col = F.lit([[int(v) for v in lut] for lut in luts]).cast(
+        "array<array<bigint>>")
     score = F.aggregate(
         F.zip_with(F.col("codes"), lut_col,
                    lambda c, l: F.element_at(l, c.cast("int") + 1)),

@@ -48,11 +48,14 @@ def shingle_positions(
     """(id, pos, h): one row per k-token window, pos 1-indexed in token
     space, h = md5 of the space-joined window. Narrow (no shuffle); the
     token array never leaves the projection that explodes it."""
+    from swarm_spark.operators.util import spread
+
     toks = F.split(F.col(text_col), " ")
     # sequence(1, n) with n < 1 would generate DESCENDING [1, 0] — gate it
     idx = F.when(
         F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1))
     ).otherwise(F.array().cast("array<int>"))
+    docs = spread(docs)
     return (
         docs.select(
             F.col(id_col),
@@ -136,7 +139,9 @@ def scrub_duplicate_spans(
     covered = spans.select(
         id_col, F.explode(F.sequence("span_start", "span_end")).alias("pos")
     ).distinct()
-    toks = docs.select(
+    from swarm_spark.operators.util import spread
+
+    toks = spread(docs).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),
     ).select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
