@@ -74,6 +74,25 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
+    # Without the Hadoop native library (the pip-installed PySpark
+    # norm), RawLocalFileSystem forks a `chmod` PROCESS per created
+    # file/dir; a dynamic-partition write of ~800 dirs pays ~2000
+    # fork/execs — measured ~3 s of a 4.5 s staged-write job, thread
+    # dumps queued in Shell.runCommand. swarm-localfs.jar overrides
+    # setPermission/mkOneDirWithMode to no-ops (local files already
+    # carry the umask mode). file:// scheme only — a real deployment's
+    # HDFS/S3 paths never touch this class. SPARK_GRAFT_FAST_LOCAL_FS=0
+    # restores stock behavior.
+    jar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "jars", "swarm-localfs.jar")
+    if (os.environ.get("SPARK_GRAFT_FAST_LOCAL_FS", "1") != "0"
+            and os.path.isfile(jar)):
+        builder = (
+            builder.config("spark.driver.extraClassPath", jar)
+            .config("spark.executor.extraClassPath", jar)
+            .config("spark.hadoop.fs.file.impl",
+                    "swarmspark.fs.FastLocalFileSystem")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
