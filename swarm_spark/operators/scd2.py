@@ -105,9 +105,18 @@ def scd2_upsert(spark, table, updates: DataFrame, keys: list[str],
             .cast("timestamp").alias(VALID_FROM),
             F.lit(None).cast("timestamp").alias(VALID_TO))
         return table.append(first)
-    history = table.read(spark)
-    delta = scd2_delta(history, updates, keys, attrs, ts)
-    return table.merge_upsert(spark, delta, keys=[*keys, VALID_FROM])
+
+    # The delta is rebuilt from a FRESH read on every merge attempt
+    # (merge_upsert rebuild=): a concurrent batch landing between our
+    # read and the commit makes the commit conflict, and the retry
+    # recomputes the delta against the new CURRENT instead of
+    # re-committing a stale one (overlapping-version hazard,
+    # r5-advice fix).
+    def _delta() -> DataFrame:
+        return scd2_delta(table.read(spark), updates, keys, attrs, ts)
+
+    return table.merge_upsert(spark, None, keys=[*keys, VALID_FROM],
+                              rebuild=_delta)
 
 
 def scd2_current(history: DataFrame) -> DataFrame:

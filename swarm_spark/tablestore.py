@@ -638,8 +638,10 @@ class IcepackTable:
             self.store.delete_snap(s["snapshot_id"])  # absent = already expired
         return {"expired": len(drop), "data_dirs_removed": removed}
 
-    def merge_upsert(self, spark: SparkSession, df: DataFrame, keys: list[str],
-                     max_retries: int = 10, keys_cap: int = 200_000) -> dict:
+    def merge_upsert(self, spark: SparkSession, df: DataFrame | None,
+                     keys: list[str],
+                     max_retries: int = 10, keys_cap: int = 200_000,
+                     rebuild=None) -> dict:
         """MERGE INTO analogue (upsert by key): incoming rows replace
         same-key rows, others are inserted. No Delta/Iceberg jars in
         this container, so the semantics are the standard anti-join +
@@ -677,18 +679,50 @@ class IcepackTable:
         profiles, latest-state tables)."""
         import shutil
 
-        incoming = df
-        for _ in range(max_retries):
+        if df is None and rebuild is None:
+            raise ValueError("merge_upsert needs df or rebuild")
+        for _attempt in range(max_retries):
+            # `rebuild` (optional zero-arg callable returning the
+            # incoming DataFrame) is re-invoked at the start of EVERY
+            # attempt, so a CommitConflict retry recomputes a DERIVED
+            # batch (e.g. an SCD2 delta) from the fresh table state
+            # instead of re-committing a stale one (r5-advice fix) —
+            # and the conflict check guarantees the landed attempt's
+            # delta was computed against the committed parent.
+            incoming = rebuild() if rebuild is not None else df
             snap = self.current_snapshot()
             if snap is None:
-                # empty table: the merge degenerates to insert-only.
-                # append (not overwrite) — its commit REBASES over a
-                # concurrent append that lands between our read and
-                # commit, so those rows are unioned, never clobbered.
-                first = self.append(incoming)
-                return {**first, "dirs_rewritten": 0, "dirs_untouched": 0,
-                        "rows_matched": 0,
-                        "rows_inserted": first.get("added_rows", 0)}
+                # Empty table: the merge degenerates to insert-only —
+                # but committed with op='merge' (conflict-on-advance),
+                # NOT append: append's commit REBASES over a concurrent
+                # append landing between our read and commit, which
+                # would UNION rows sharing incoming keys where MERGE
+                # semantics require replacement. On conflict the loop
+                # re-reads the now non-empty table and takes the scoped
+                # path (r5-advice fix).
+                ddir, n = self._write_data(incoming, "", "timestamp")
+                new = {
+                    "parent": None,
+                    "op": "merge",
+                    "data_dirs": [ddir] if n else [],
+                    "schema": json.dumps(incoming.schema.jsonValue()),
+                    "partition_unit": "",
+                    "ts_col": "timestamp",
+                    "row_count": n,
+                    "added_rows": n,
+                    "committed_at": time.time(),
+                    "snapshot_id": None,
+                    "deletes": [],
+                }
+                try:
+                    self._commit(new)
+                except CommitConflict:
+                    shutil.rmtree(ddir, ignore_errors=True)
+                    continue
+                if not n:
+                    shutil.rmtree(ddir, ignore_errors=True)
+                return {**new, "dirs_rewritten": 0, "dirs_untouched": 0,
+                        "rows_matched": 0, "rows_inserted": n}
             schema = merge_schemas(
                 T.StructType.fromJson(json.loads(snap["schema"])),
                 incoming.schema,
@@ -1652,19 +1686,32 @@ class IcepackTable:
         tasks and commits them with the manifest (Iceberg puffin);
         building post-hoc is the local-fs analogue, priced at one scan
         of the dirs that lack blooms."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from swarm_spark import blooms as _blooms
 
         snap = self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
-        built = skipped = 0
+        todo = []
+        skipped = 0
         for d in snap["data_dirs"]:
             if not overwrite and _blooms.load_dir_blooms(d) is not None:
                 skipped += 1
-                continue
-            out = _blooms.collect_dir_blooms(
-                spark, d, cols, m_bytes=m_bytes, k=k, overwrite=overwrite)
-            built += 1 if out is not None else 0
+            else:
+                todo.append(d)
+        built = 0
+        if todo:
+            # per-dir jobs are independent — submit them concurrently so
+            # one dir's job tail back-fills the others' idle executors
+            # (guide §2.6); each writes only its own sidecar.
+            with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+                outs = list(pool.map(
+                    lambda d: _blooms.collect_dir_blooms(
+                        spark, d, cols, m_bytes=m_bytes, k=k,
+                        overwrite=overwrite),
+                    todo))
+            built = sum(1 for o in outs if o is not None)
         return {"dirs_built": built, "dirs_already": skipped,
                 "dirs_total": len(snap["data_dirs"])}
 
@@ -1702,6 +1749,19 @@ class IcepackTable:
         meta_rows, residual, total, decided = filestats.count_plan(
             snap["data_dirs"], predicates)
         scanned = 0
+        if residual and any(os.path.isdir(p) for p in residual):
+            # A stats-less dir in the residual list cannot be read
+            # together with leaf FILES of partitioned dirs (Spark's
+            # conflicting-directory-structure error, and the flat read
+            # would drop `_p`). Correct first: answer through the
+            # normal pruned read + row filter (r5-advice fix).
+            n = self.read(spark, prune=predicates).filter(
+                F.coalesce(filestats.predicate_column(predicates),
+                           F.lit(False))).count()
+            return {"count": n, "meta_rows": 0,
+                    "residual_files": len(residual), "files_total": total,
+                    "files_decided": decided,
+                    "mode": "statless_dir_fallback"} if report else n
         if residual:
             df = spark.read.option("mergeSchema", "true").parquet(*residual)
             # schema evolution: residual files may all predate a
