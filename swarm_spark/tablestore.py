@@ -683,14 +683,17 @@ class IcepackTable:
             raise ValueError("merge_upsert needs df or rebuild")
         for _attempt in range(max_retries):
             # `rebuild` (optional zero-arg callable returning the
-            # incoming DataFrame) is re-invoked at the start of EVERY
-            # attempt, so a CommitConflict retry recomputes a DERIVED
-            # batch (e.g. an SCD2 delta) from the fresh table state
-            # instead of re-committing a stale one (r5-advice fix) —
-            # and the conflict check guarantees the landed attempt's
-            # delta was computed against the committed parent.
-            incoming = rebuild() if rebuild is not None else df
+            # incoming DataFrame) is re-invoked on EVERY attempt, so a
+            # CommitConflict retry recomputes a DERIVED batch (e.g. an
+            # SCD2 delta) from the fresh table state instead of
+            # re-committing a stale one (r5-advice fix). Ordering
+            # matters: the parent snapshot is read FIRST, so any
+            # commit landing after it — including during the rebuild —
+            # makes our commit conflict and the loop retry; the landed
+            # attempt's delta is therefore always derived from a state
+            # at least as new as its parent.
             snap = self.current_snapshot()
+            incoming = rebuild() if rebuild is not None else df
             if snap is None:
                 # Empty table: the merge degenerates to insert-only —
                 # but committed with op='merge' (conflict-on-advance),
