@@ -1862,7 +1862,7 @@ def _driver_order(names: list[str]) -> list[str]:
                 k for k, v in rows.items()
                 if isinstance(v, dict) and v.get("rows_match")
                 and v.get("schema_match")
-                and (v.get("hash_match") in (True, None))
+                and v.get("hash_match") is True
             }
         except (OSError, ValueError):
             covered = set()

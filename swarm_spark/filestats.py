@@ -204,7 +204,7 @@ def collect_dir_stats(ddir: str, overwrite: bool = False) -> dict | None:
     if not files:
         return None
     try:
-        with ThreadPoolExecutor(min(16, len(files))) as pool:
+        with ThreadPoolExecutor(min(32, len(files))) as pool:
             per_file = list(pool.map(lambda f: _file_stats(os.path.join(ddir, f)), files))
         stats = {"version": 1, "files": dict(zip(files, per_file))}
         tmp = sidecar + ".tmp"

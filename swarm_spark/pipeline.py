@@ -157,7 +157,7 @@ def _parquet_footer_rows(root: str) -> int | None:
         )
     if not files:
         return 0
-    with ThreadPoolExecutor(min(16, len(files))) as pool:
+    with ThreadPoolExecutor(min(32, len(files))) as pool:
         return sum(pool.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files))
 
 
