@@ -174,13 +174,21 @@ def _file_stats(path: str) -> dict | None:
             break  # cap sidecar width — stays metadata-sized
     return {"rows": rows, "cols": cols}
 
-def collect_dir_stats(ddir: str, overwrite: bool = False) -> dict | None:
-    """Walk a data dir's parquet files driver-side (footers only,
-    threaded) and write the `_stats.json` sidecar. Best-effort: any
-    failure returns None and the dir simply never prunes. No-op for
-    object-store URIs (a real deployment computes these bounds in the
-    write tasks and commits them with the manifest, like Iceberg's
-    write.metadata.metrics — the sidecar is the local-fs analogue)."""
+def collect_dir_stats(ddir: str, overwrite: bool = False,
+                      spark=None, distributed_threshold: int = 256) -> dict | None:
+    """Walk a data dir's parquet files (footers only) and write the
+    `_stats.json` sidecar. Best-effort: any failure returns None and
+    the dir simply never prunes. No-op for object-store URIs (a real
+    deployment computes these bounds in the write tasks and commits
+    them with the manifest, like Iceberg's write.metadata.metrics —
+    the sidecar is the local-fs analogue).
+
+    Parsing a footer's per-column statistics is Python-loop work the
+    GIL serializes, so a driver thread pool tops out near one core
+    (~1 ms/file — 2.2 s for a 2191-file batch). When `spark` is given
+    and the dir is big enough, the footers are parsed in EXECUTOR
+    Python workers instead (separate processes, one tiny job); the
+    threaded driver path remains the fallback and the small-dir path."""
     if "://" in ddir and not ddir.startswith("file:"):
         return None
     if ddir.startswith("file:"):
@@ -204,8 +212,21 @@ def collect_dir_stats(ddir: str, overwrite: bool = False) -> dict | None:
     if not files:
         return None
     try:
-        with ThreadPoolExecutor(min(32, len(files))) as pool:
-            per_file = list(pool.map(lambda f: _file_stats(os.path.join(ddir, f)), files))
+        per_file = None
+        if spark is not None and len(files) >= distributed_threshold:
+            try:
+                sc = spark.sparkContext
+                paths = [os.path.join(ddir, f) for f in files]
+                nparts = max(1, min(sc.defaultParallelism,
+                                    len(paths) // 32))
+                per_file = (sc.parallelize(paths, nparts)
+                            .map(_file_stats).collect())
+            except Exception:
+                per_file = None  # workers can't import / any failure
+        if per_file is None:
+            with ThreadPoolExecutor(min(32, len(files))) as pool:
+                per_file = list(pool.map(
+                    lambda f: _file_stats(os.path.join(ddir, f)), files))
         stats = {"version": 1, "files": dict(zip(files, per_file))}
         tmp = sidecar + ".tmp"
         with open(tmp, "w") as fh:

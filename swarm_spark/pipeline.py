@@ -371,7 +371,7 @@ class IngestPipeline:
                 sdir = os.path.join(batch_dir, f"_sink={s}")
                 if not os.path.isdir(sdir):
                     continue
-                st = filestats.collect_dir_stats(sdir)
+                st = filestats.collect_dir_stats(sdir, spark=self.spark)
                 per_file = list((st or {}).get("files", {}).values())
                 if st is None or any(
                     f is None or "rows" not in f for f in per_file

@@ -421,9 +421,11 @@ class IcepackTable:
         n = int(obs.get["n"])
         if n:
             # per-file column bounds sidecar (Iceberg manifest metrics
-            # analogue) — footers only, driver-side, best-effort; read
-            # prune= uses it to skip files before the scan is planned
-            filestats.collect_dir_stats(ddir)
+            # analogue) — footers only, best-effort; read prune= uses
+            # it to skip files before the scan is planned. Big dirs
+            # parse their footers in executor workers (GIL — see
+            # collect_dir_stats).
+            filestats.collect_dir_stats(ddir, spark=df.sparkSession)
         return ddir, n
 
     def _append_snapshot(self, ddir: str | None, n: int,
